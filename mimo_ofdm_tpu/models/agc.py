@@ -1,0 +1,81 @@
+"""Receiver AGC / equalization vectors and noise scalers.
+
+Implements the interlocking constant-IBO bookkeeping of
+``reference/mp_model.py:290-329`` (and the per-receiver copies in
+``reference/corrector.py:138-163,372-403``):
+
+* ``hk_vk``      = per-antenna ``H o V`` on the data subcarriers
+* ``hk_vk_agc``  = sum over antennas (the effective SISO channel for the
+  clean signal)
+* ``ak_hk_vk_agc`` = same with per-antenna Bussgang gain ``a_k`` applied
+  (the effective channel for the *distorted* signal's linear part)
+* ``*_noise_scaler`` = mean |.|^2 over subcarriers, used to set the AWGN
+  power so that the post-AGC SNR equals the requested SNR
+  (``reference/mp_model.py:163,212``)
+* ``*_nfft``     = the n_sc-length vector embedded into the n_fft grid
+  with ONES in the unused bins (``reference/mp_model.py:307-309,324-326``)
+  so out-of-band noise passes through the divide unscaled.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import Array
+
+from mimo_ofdm_tpu.ops.ofdm import map_subcarriers
+from mimo_ofdm_tpu.models.precoding import (per_antenna_alpha,
+                                            precoding_power_per_antenna)
+
+
+class AgcState(NamedTuple):
+    """All equalizer vectors needed by the link simulation."""
+    hk_vk_agc_nfft: Array        # [n_fft] clean-signal equalizer
+    hk_vk_noise_scaler: Array    # scalar
+    ak_hk_vk_agc_nfft: Array     # [n_fft] distorted-signal equalizer
+    ak_hk_vk_noise_scaler: Array  # scalar
+    ak_vect: Array               # [n_ant] per-antenna Bussgang gains
+
+
+def compute_agc(h_sc: Array, v: Array, ibo_db: float, n_ant: int, n_fft: int,
+                usr_idx: int | None = None) -> AgcState:
+    """Compute AGC state from the data-subcarrier channel ``h_sc``
+    ``[n_ant, n_sc]`` (for MU: the *served user's* channel) and precoder
+    ``v`` (``[n_ant, n_sc]`` SU or ``[n_ant, n_usr, n_sc]`` MU).
+
+    Mirrors ``Link.recalculate_agc`` (``reference/mp_model.py:290-329``);
+    for MU the ``H o V`` product uses the user's precoder slice
+    ``v[:, usr_idx, :]`` while the per-antenna power (hence IBO/alpha)
+    sums over all users (``reference/corrector.py:379-384``).
+    """
+    n_sc = h_sc.shape[-1]
+    if v.ndim == 3:
+        if usr_idx is None:
+            raise ValueError("usr_idx required for multi-user precoder")
+        v_usr = v[:, usr_idx, :]
+    else:
+        v_usr = v
+
+    vk_pow_vec = precoding_power_per_antenna(v)               # [n_ant]
+    hk_vk = h_sc * v_usr                                      # [n_ant, n_sc]
+    hk_vk_avg = jnp.sum(hk_vk, axis=0)                        # [n_sc]
+    hk_vk_noise_scaler = jnp.mean(jnp.abs(hk_vk_avg) ** 2)
+
+    ak_vect = per_antenna_alpha(ibo_db, vk_pow_vec, n_sc, n_ant)
+    ak_hk_vk_avg = jnp.sum(ak_vect[:, None].astype(hk_vk.dtype) * hk_vk, axis=0)
+    ak_hk_vk_noise_scaler = jnp.mean(jnp.abs(ak_hk_vk_avg) ** 2)
+
+    return AgcState(
+        hk_vk_agc_nfft=_embed_ones(hk_vk_avg, n_fft),
+        hk_vk_noise_scaler=hk_vk_noise_scaler,
+        ak_hk_vk_agc_nfft=_embed_ones(ak_hk_vk_avg, n_fft),
+        ak_hk_vk_noise_scaler=ak_hk_vk_noise_scaler,
+        ak_vect=ak_vect,
+    )
+
+
+def _embed_ones(vec_sc: Array, n_fft: int) -> Array:
+    """Embed an n_sc vector into the n_fft grid with ones elsewhere
+    (``reference/mp_model.py:307-309``)."""
+    return map_subcarriers(vec_sc, n_fft, fill_value=1.0)

@@ -1,0 +1,105 @@
+"""Batched multi-antenna OFDM transmit chain.
+
+Replaces the reference's per-antenna Python loop over deep-copied
+``Transceiver`` objects (``reference/antenna_array.py:110-140`` calling
+``reference/transceiver.py:98-174``) with one fused pipeline over an
+``[n_ant, n_fft]`` stack:
+
+    bits -> QAM symbols [n_sc]
+         -> precode:   per-antenna symbols = V o s        (SU)
+                       or sum_u V[:,u,:] o s_u            (MU summed)
+         -> embed subcarriers -> batched ortho IFFT [n_ant, n_fft]
+         -> per-antenna PA nonlinearity (time domain)
+         -> batched ortho FFT  -> frequency-domain output
+
+In frequency-domain output mode the CP add+strip is skipped (identity; see
+``mimo_ofdm_tpu.ops.ofdm``). All functions broadcast over leading batch
+dims and are jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from mimo_ofdm_tpu.ops import ofdm, pa, qam
+
+
+def modulate_users(bits: Array, constel_size: int, dtype=jnp.complex64) -> Array:
+    """bits ``[..., n_bits]`` (SU) or ``[..., n_usr, n_bits]`` (MU) ->
+    symbols ``[..., n_sc]`` / ``[..., n_usr, n_sc]``
+    (``reference/modulation.py:346-367``)."""
+    return qam.modulate_bits(bits, constel_size, dtype)
+
+
+def precode_symbols(symbols: Array, v: Array, sum_users: bool = True) -> Array:
+    """Apply the frequency-domain precoder.
+
+    SU:  ``symbols [..., n_sc]``, ``v [n_ant, n_sc]`` -> ``[..., n_ant, n_sc]``.
+    MU:  ``symbols [..., n_usr, n_sc]``, ``v [n_ant, n_usr, n_sc]`` ->
+    summed ``[..., n_ant, n_sc]`` (``reference/modulation.py:373``) or
+    per-user ``[..., n_usr, n_ant, n_sc]`` when ``sum_users=False``
+    (``reference/modulation.py:376-382``).
+    """
+    if v.ndim == 2:  # single user
+        return symbols[..., None, :] * v
+    vt = jnp.swapaxes(v, 0, 1)                     # [n_usr, n_ant, n_sc]
+    per_usr = symbols[..., :, None, :] * vt        # [..., n_usr, n_ant, n_sc]
+    if sum_users:
+        return jnp.sum(per_usr, axis=-3)           # [..., n_ant, n_sc]
+    return per_usr
+
+
+def pa_transfer(td_sig: Array, pa_model: str, sat_power: Array | float,
+                rapp_p: float = 1.1, toi_coeff: Array | float = 0.0) -> Array:
+    """Apply the per-antenna PA in time domain. ``sat_power`` may be a
+    scalar or ``[n_ant]`` (broadcast against the last/sample axis)."""
+    sat = jnp.asarray(sat_power)
+    if sat.ndim == 1:
+        sat = sat[:, None]
+    coeff = jnp.asarray(toi_coeff)
+    if coeff.ndim == 1:
+        coeff = coeff[:, None]
+    return pa.apply_pa(td_sig, pa_model, sat, rapp_p, coeff)
+
+
+def array_transmit_fd(bits: Array, *, constel_size: int, n_fft: int, v: Array,
+                      pa_model: str = "softlim", sat_power: Array | float = 1.0,
+                      rapp_p: float = 1.1, toi_coeff: Array | float = 0.0,
+                      skip_dist: bool = False, return_clean: bool = False,
+                      sum_users: bool = True, dtype=jnp.complex64):
+    """Full array transmit to frequency domain
+    (``AntennaArray.transmit(out_domain_fd=True)``,
+    ``reference/antenna_array.py:58-140``).
+
+    Returns ``[.., n_ant, n_fft]`` distorted FD signal (or
+    ``(distorted, clean)`` when ``return_clean``;
+    clean only when ``skip_dist``). With ``sum_users=False`` the user axis
+    is kept: ``[.., n_usr, n_ant, n_fft]``.
+    """
+    symbols = modulate_users(bits, constel_size, dtype)
+    per_ant_sc = precode_symbols(symbols, v, sum_users=sum_users)
+    fd_clean = ofdm.map_subcarriers(per_ant_sc, n_fft)
+    if skip_dist:
+        return fd_clean
+    td = ofdm.fd_to_td(fd_clean)
+    td_dist = pa_transfer(td, pa_model, sat_power, rapp_p, toi_coeff)
+    fd_dist = ofdm.td_to_fd(td_dist)
+    if return_clean:
+        return fd_dist, fd_clean
+    return fd_dist
+
+
+def array_transmit_td(bits: Array, *, constel_size: int, n_fft: int, cp_len: int,
+                      v: Array, pa_model: str = "softlim",
+                      sat_power: Array | float = 1.0, rapp_p: float = 1.1,
+                      toi_coeff: Array | float = 0.0, skip_dist: bool = False,
+                      sum_users: bool = True, dtype=jnp.complex64) -> Array:
+    """Time-domain output variant with cyclic prefix
+    (``out_domain_fd=False`` path, ``reference/transceiver.py:123-129,167-174``)."""
+    symbols = modulate_users(bits, constel_size, dtype)
+    per_ant_sc = precode_symbols(symbols, v, sum_users=sum_users)
+    td = ofdm.fd_to_td(ofdm.map_subcarriers(per_ant_sc, n_fft))
+    if not skip_dist:
+        td = pa_transfer(td, pa_model, sat_power, rapp_p, toi_coeff)
+    return ofdm.add_cyclic_prefix(td, cp_len)
