@@ -1,0 +1,205 @@
+"""End-to-end link frame simulator — the TPU-native analogue of
+``reference/mp_model.py`` (``Link.simulate``).
+
+``make_frame_fn`` builds one pure, jittable function that simulates a
+single OFDM frame end to end — channel (re)roll, precoding, constant-IBO
+recalibration, AGC, TX array with per-antenna PA, propagation, AWGN,
+equalization and CNC/MCNC reception — returning per-iteration bit-error
+counts. ``vmap`` it over a key batch for Monte-Carlo trials; shard the
+batch over a device mesh for multi-chip scaling (see
+``mimo_ofdm_tpu.parallel``).
+
+RNG roles mirror the reference's four independent streams
+(``reference/mp_model.py:74-77,121-125``): bits / noise / location(fade) /
+CSI, here derived by folding a single frame key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from mimo_ofdm_tpu.ops import bits as bits_ops
+from mimo_ofdm_tpu.ops import noise as noise_ops
+from mimo_ofdm_tpu.ops import ofdm, pa, qam
+from mimo_ofdm_tpu.models import agc as agc_mod
+from mimo_ofdm_tpu.models import channels, geometry, precoding, receivers, transmit
+from mimo_ofdm_tpu.utils.config import LinkConfig
+
+
+class FrameCounters(NamedTuple):
+    """Bit-error counts for one simulated frame."""
+    clean_err: Array     # scalar int32 (clean run, counter [0] in the reference)
+    dist_err: Array      # [n_iters + 1] int32, CNC iterations 0..n_iters
+
+
+def link_static(cfg: LinkConfig, dtype=jnp.complex64):
+    """Precompute static geometry/frequency arrays for a link config."""
+    n_ant = cfg.array.n_elements
+    tx_pos = geometry.array_positions(
+        cfg.array.geometry, n_ant, cfg.center_freq, cfg.array.wav_len_spacing,
+        cord_z=cfg.array.cord_z, n_rows=cfg.array.n_rows, n_cols=cfg.array.n_cols)
+    freqs = np.asarray(ofdm.fft_bin_frequencies(cfg.modem.n_fft, cfg.carrier_spacing,
+                                                cfg.center_freq))
+    rx_base = np.array([cfg.rx.cord_x, cfg.rx.cord_y, cfg.rx.cord_z])
+    return jnp.asarray(tx_pos, jnp.float32), jnp.asarray(freqs, jnp.float32), \
+        jnp.asarray(rx_base, jnp.float32)
+
+
+def make_channel_fn(cfg: LinkConfig, tx_pos: Array, freqs: Array, rx_base: Array,
+                    reroll: bool, dtype=jnp.complex64):
+    """Channel generator keyed per frame. For geometric channels the
+    reroll perturbs the RX position uniformly in ``+-loc_var/2``
+    (``reference/mp_model.py:140-150``; note the reference derives *both*
+    offsets from ``rx_loc_x`` — a quirk that is irrelevant for the
+    canonical symmetric RX position; here each axis uses its own base).
+    For stochastic channels the reroll is a fresh fade draw
+    (``reference/mp_model.py:154``)."""
+    model = cfg.channel.model
+    skip_att = cfg.channel.skip_attenuation
+
+    def rx_position(key):
+        if not reroll:
+            return rx_base
+        off = jax.random.uniform(key, (2,), minval=-cfg.rx.loc_var / 2.0,
+                                 maxval=cfg.rx.loc_var / 2.0)
+        return rx_base + jnp.concatenate([off, jnp.zeros(1)])
+
+    def channel_fn(key):
+        k_loc, k_fade = jax.random.split(key)
+        if model == "awgn":
+            return jnp.ones((tx_pos.shape[0], freqs.shape[0]), dtype)
+        if model == "los":
+            return channels.los_channel(tx_pos, rx_position(k_loc), freqs,
+                                        skip_att, dtype=dtype)
+        if model == "two_path":
+            return channels.two_path_channel(tx_pos, rx_position(k_loc), freqs,
+                                             skip_att, dtype=dtype)
+        if model == "rayleigh":
+            return channels.rayleigh_channel(k_fade, tx_pos, rx_base, freqs,
+                                             skip_att, dtype=dtype)
+        if model == "random_paths":
+            return channels.random_paths_channel(k_fade, tx_pos, freqs,
+                                                 cfg.channel.n_paths,
+                                                 cfg.channel.max_delay_spread,
+                                                 dtype=dtype)
+        if model == "tdl_3gpp":
+            return channels.tdl_channel(k_fade, tx_pos, rx_position(k_loc), freqs,
+                                        cfg.channel.tdl_profile,
+                                        skip_attenuation=skip_att, dtype=dtype)
+        raise ValueError(f"unknown channel model {model!r}")
+
+    return channel_fn
+
+
+def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
+                  reroll: bool = True, dtype=jnp.complex64):
+    """Build the per-frame simulator ``frame_fn(key, snr_db) -> FrameCounters``.
+
+    One call reproduces one pass of the reference's clean + distorted
+    while-loop bodies (``reference/mp_model.py:136-222``): both runs use
+    independent bit/noise draws, the distorted run feeds the CNC/MCNC
+    receiver and errors are counted per iteration tap.
+    """
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    n_bits = cfg.modem.n_bits_per_ofdm_sym
+    ibo_db = cfg.pa.ibo_db
+    avg_sym_pow = cfg.modem.avg_symbol_power
+    avg_samp_pow = cfg.modem.avg_sample_power
+    pa_model = cfg.pa.model
+
+    tx_pos, freqs, rx_base = link_static(cfg, dtype)
+    channel_fn = make_channel_fn(cfg, tx_pos, freqs, rx_base, reroll, dtype)
+    precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users)
+
+    def frame_fn(key: Array, snr_db: Array) -> FrameCounters:
+        k_chan, k_csi, k_bits_c, k_bits_d, k_noise_c, k_noise_d = \
+            jax.random.split(key, 6)
+
+        h_fd = channel_fn(k_chan)                       # [n_ant, n_fft] true channel
+        if cfg.csi_epsilon:
+            h_pre_fd = channels.csi_error_channel(k_csi, h_fd, n_sc, cfg.csi_epsilon)
+        else:
+            h_pre_fd = h_fd
+        h_pre_sc = ofdm.extract_subcarriers(h_pre_fd, n_sc)
+
+        v = precoder(h_pre_sc)                          # [n_ant, n_sc]
+        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
+        agc = agc_mod.compute_agc(h_pre_sc, v, ibo_db, n_ant, n_fft)
+
+        # --- clean run (reference/mp_model.py:136-175) ---
+        if incl_clean:
+            bits_c = jax.random.bernoulli(k_bits_c, 0.5, (n_bits,)).astype(jnp.int8)
+            fd_clean = transmit.array_transmit_fd(
+                bits_c, constel_size=m, n_fft=n_fft, v=v, skip_dist=True, dtype=dtype)
+            rx_c = channels.propagate(h_fd, fd_clean)
+            rx_c = noise_ops.awgn(k_noise_c, rx_c, snr_db,
+                                  avg_sym_pow * agc.hk_vk_noise_scaler)
+            rx_c = receivers.equalize(rx_c, agc.hk_vk_agc_nfft)
+            rx_bits_c = receivers.standard_receive(rx_c, n_sc, m)
+            clean_err = bits_ops.count_bit_errors(bits_c, rx_bits_c)
+        else:
+            clean_err = jnp.zeros((), jnp.int32)
+
+        # --- distorted run (reference/mp_model.py:180-222) ---
+        bits_d = jax.random.bernoulli(k_bits_d, 0.5, (n_bits,)).astype(jnp.int8)
+        fd_dist = transmit.array_transmit_fd(
+            bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+        rx_d = channels.propagate(h_fd, fd_dist)
+        rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
+                              avg_sym_pow * agc.ak_hk_vk_noise_scaler)
+        rx_d = receivers.equalize(rx_d, agc.ak_hk_vk_agc_nfft)
+
+        if cfg.rx.algorithm == "cnc":
+            bits_all = receivers.cnc_receive(rx_d, n_iters, constel_size=m,
+                                             n_sc=n_sc, ibo_db=ibo_db,
+                                             pa_model=pa_model)
+        elif cfg.rx.algorithm == "mcnc":
+            # MCNC replica uses the *precoding* channel (noisy under CSI
+            # error, reference/mp_model.py:115-119) and the ak AGC vector.
+            rx_sc = ofdm.extract_subcarriers(rx_d, n_sc)
+            replica = receivers.make_mcnc_replica(
+                h_pre_fd, v, agc.ak_hk_vk_agc_nfft, constel_size=m,
+                n_fft=n_fft, n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
+                rapp_p=cfg.pa.rapp_p_hardness)
+            bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
+        elif cfg.rx.algorithm == "none":
+            one = receivers.standard_receive(rx_d, n_sc, m)
+            bits_all = jnp.broadcast_to(one, (n_iters + 1, n_bits))
+        else:
+            raise ValueError(f"unsupported rx algorithm {cfg.rx.algorithm!r}")
+
+        dist_err = bits_ops.count_bit_errors(bits_d, bits_all, axis=-1)
+        return FrameCounters(clean_err=clean_err, dist_err=dist_err)
+
+    return frame_fn
+
+
+def make_round_fn(cfg: LinkConfig, n_iters: int, batch: int, *,
+                  incl_clean: bool = True, reroll: bool = True,
+                  dtype=jnp.complex64):
+    """Jitted Monte-Carlo round: ``round_fn(key, snr_db) -> FrameCounters``
+    summed over a ``batch`` of independent frames (vmapped). This is the
+    unit of work the host stop-criterion loop schedules — the batched
+    replacement for the reference's per-frame shared-counter polling
+    (``reference/mp_model.py:137,181``)."""
+    frame_fn = make_frame_fn(cfg, n_iters, incl_clean=incl_clean,
+                             reroll=reroll, dtype=dtype)
+
+    @jax.jit
+    def round_fn(key: Array, snr_db: Array) -> FrameCounters:
+        keys = jax.random.split(key, batch)
+        counters = jax.vmap(frame_fn, in_axes=(0, None))(keys, snr_db)
+        # int32 is ample for one round's error counts; the host accumulates
+        # across rounds in Python ints (TPU has no native int64).
+        return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32), counters)
+
+    return round_fn

@@ -1,0 +1,126 @@
+"""Monte-Carlo BER driver: batched rounds + host-side stop criteria.
+
+Replaces the reference's process fan-out with lock-protected shared
+counters (``reference/mp_model.py:89-222``,
+``reference/main_mp_clipping_noise_cancellation/main_mp_miso_cnc_ber_vs_ebn0.py:119-132``)
+with the TPU-native pattern:
+
+* a **jitted round** simulates ``batch`` frames at once (vmap), optionally
+  sharded across a device mesh (see :mod:`mimo_ofdm_tpu.parallel.mesh`);
+* the **host** accumulates integer counters between rounds and applies the
+  per-iteration early-exit semantics (``ite_use_flags``,
+  ``reference/mp_model.py:181-187``) at round granularity: an iteration
+  counter stops accumulating once it reached ``n_err_min`` errors or
+  ``bits_sent_max`` bits, and the sweep point stops when every counter is
+  done.
+
+Determinism: every round key is ``fold_in(master_key, round_index)`` and
+every frame key is a split of the round key, so results are reproducible
+for a given (seed, batch size, device count) — the analogue of the
+reference's per-process seed arrays
+(``reference/main_mp_clipping_noise_cancellation/main_mp_miso_cnc_ber_vs_ebn0.py:122``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+
+from mimo_ofdm_tpu.utils.config import LinkConfig, SweepConfig
+from mimo_ofdm_tpu.models.link import make_round_fn
+
+
+@dataclass
+class PointResult:
+    """Counters for one sweep point (e.g. one Eb/N0 value)."""
+    n_err: np.ndarray        # [n_counters] int64
+    n_bits: np.ndarray       # [n_counters] int64
+    n_rounds: int
+    wall_time_s: float
+
+    @property
+    def ber(self) -> np.ndarray:
+        return self.n_err / np.maximum(self.n_bits, 1)
+
+
+@dataclass
+class SweepResult:
+    """BER vs swept parameter, reference CSV row convention
+    (row 0 = swept param, following rows = metric per config;
+    ``reference/docs/source/usage.rst:40-47``)."""
+    param_values: np.ndarray
+    points: list[PointResult] = field(default_factory=list)
+
+    @property
+    def ber_matrix(self) -> np.ndarray:
+        """[n_counters, n_points]"""
+        return np.stack([p.ber for p in self.points], axis=1)
+
+    @property
+    def frames_per_s(self) -> float:
+        tot_t = sum(p.wall_time_s for p in self.points)
+        tot_bits = sum(int(p.n_bits.max()) for p in self.points)
+        return tot_bits / max(tot_t, 1e-9)
+
+
+def run_point(round_fn, key, snr_db: float, *, n_counters: int,
+              n_bits_per_frame: int, batch: int, n_err_min: int,
+              bits_sent_max: int, max_rounds: int = 100_000) -> PointResult:
+    """Accumulate rounds until every counter hit a stop criterion.
+
+    ``round_fn(key, snr_db) -> FrameCounters`` with int32 sums per counter.
+    Counter 0 is the clean run; counters 1.. are CNC iterations 0..n_iters
+    (matching the shared-array layout in ``reference/mp_model.py:132-134``).
+    """
+    n_err = np.zeros(n_counters, np.int64)
+    n_bits = np.zeros(n_counters, np.int64)
+    t0 = time.perf_counter()
+    rounds = 0
+    while rounds < max_rounds:
+        active = (n_err < n_err_min) & (n_bits < bits_sent_max)
+        if not active.any():
+            break
+        rkey = jax.random.fold_in(key, rounds)
+        counters = round_fn(rkey, snr_db)
+        errs = np.concatenate([np.atleast_1d(np.asarray(counters.clean_err)),
+                               np.asarray(counters.dist_err)]).astype(np.int64)
+        n_err += np.where(active, errs, 0)
+        n_bits += np.where(active, batch * n_bits_per_frame, 0)
+        rounds += 1
+    return PointResult(n_err=n_err, n_bits=n_bits, n_rounds=rounds,
+                       wall_time_s=time.perf_counter() - t0)
+
+
+def run_ber_sweep(cfg: LinkConfig, sweep: SweepConfig, n_iters: int,
+                  seed: int = 0, snr_db_values: np.ndarray | None = None,
+                  round_fn=None, verbose: bool = False) -> SweepResult:
+    """BER vs Eb/N0 sweep — the canonical workload
+    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ebn0.py:86-250``)."""
+    from mimo_ofdm_tpu.ops.metrics import ebn0_to_snr
+
+    ebn0 = np.arange(sweep.ebn0_min, sweep.ebn0_max + sweep.ebn0_step / 2,
+                     sweep.ebn0_step)
+    if snr_db_values is None:
+        snr_db_values = ebn0_to_snr(ebn0, cfg.modem.n_fft, cfg.modem.n_sub_carr,
+                                    cfg.modem.constel_size)
+    if round_fn is None:
+        round_fn = make_round_fn(cfg, n_iters, sweep.batch_frames,
+                                 incl_clean=sweep.incl_clean_run,
+                                 reroll=sweep.reroll_channel)
+    n_counters = 1 + n_iters + 1
+    result = SweepResult(param_values=ebn0)
+    key = jax.random.key(seed)
+    for i, snr in enumerate(snr_db_values):
+        pkey = jax.random.fold_in(key, i)
+        pt = run_point(round_fn, pkey, float(snr), n_counters=n_counters,
+                       n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+                       batch=sweep.batch_frames, n_err_min=sweep.n_err_min,
+                       bits_sent_max=sweep.bits_sent_max)
+        result.points.append(pt)
+        if verbose:
+            print(f"Eb/N0={ebn0[i]:5.1f} dB  rounds={pt.n_rounds:5d}  "
+                  f"BER={np.array2string(pt.ber, precision=3)}")
+    return result
