@@ -1,0 +1,70 @@
+"""Headline benchmark: canonical MISO CNC Monte-Carlo throughput on TPU.
+
+Workload = the reference's canonical BER frame
+(``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ebn0.py:37-58``):
+64-QAM, n_fft 4096, n_sub_carr 2048, 64-antenna array, soft-limiter PA at
+IBO 0 dB, MRT precoding, Rayleigh channel rerolled per frame, clean run +
+8-iteration CNC receive, per-iteration BER counters.
+
+Prints ONE JSON line: frames/s on this chip, with ``vs_baseline`` the
+speedup over the reference-style CPU implementation (per-antenna Python
+loop + per-call FFTs), measured once on this machine and cached in
+``BASELINE_CPU.json``.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mimo_ofdm_tpu.utils.config import canonical_miso_cnc, ChannelConfig
+    from mimo_ofdm_tpu.models.link import make_round_fn
+
+    n_iters = 8
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    cfg, _ = canonical_miso_cnc()
+    cfg = cfg.replace(channel=ChannelConfig(model="rayleigh"))
+
+    round_fn = make_round_fn(cfg, n_iters=n_iters, batch=batch)
+    key = jax.random.key(0)
+    snr = jnp.float32(15.0)
+
+    # compile + warmup
+    jax.block_until_ready(round_fn(key, snr))
+    t0 = time.perf_counter()
+    n_rounds = 0
+    while time.perf_counter() - t0 < 10.0:
+        key = jax.random.fold_in(key, n_rounds)
+        jax.block_until_ready(round_fn(key, snr))
+        n_rounds += 1
+    dt = time.perf_counter() - t0
+    frames_per_s = n_rounds * batch / dt
+
+    # CPU baseline (cached)
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f)["frames_per_s"]
+    else:
+        from mimo_ofdm_tpu.utils.baseline_cpu import measure_baseline_frames_per_s
+        baseline = measure_baseline_frames_per_s(cfg, n_iters)
+        with open(base_path, "w") as f:
+            json.dump({"frames_per_s": baseline,
+                       "note": "reference-style per-antenna-loop CPU implementation, "
+                               "canonical 64-ant 4096-FFT CNC-8 frame"}, f)
+
+    print(json.dumps({
+        "metric": "canonical_miso_cnc_frames_per_s",
+        "value": round(frames_per_s, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -39,7 +40,8 @@ class AgcState(NamedTuple):
 
 
 def compute_agc(h_sc: Array, v: Array, ibo_db: float, n_ant: int, n_fft: int,
-                usr_idx: int | None = None) -> AgcState:
+                usr_idx: int | None = None,
+                ant_axis_name: str | None = None) -> AgcState:
     """Compute AGC state from the data-subcarrier channel ``h_sc``
     ``[n_ant, n_sc]`` (for MU: the *served user's* channel) and precoder
     ``v`` (``[n_ant, n_sc]`` SU or ``[n_ant, n_usr, n_sc]`` MU).
@@ -57,13 +59,21 @@ def compute_agc(h_sc: Array, v: Array, ibo_db: float, n_ant: int, n_fft: int,
     else:
         v_usr = v
 
-    vk_pow_vec = precoding_power_per_antenna(v)               # [n_ant]
+    def ant_sum(x):
+        s = jnp.sum(x, axis=0)
+        if ant_axis_name is not None:
+            s = jax.lax.psum(s, ant_axis_name)
+        return s
+
+    vk_pow_vec = precoding_power_per_antenna(v)               # [n_ant(_local)]
     hk_vk = h_sc * v_usr                                      # [n_ant, n_sc]
-    hk_vk_avg = jnp.sum(hk_vk, axis=0)                        # [n_sc]
+    hk_vk_avg = ant_sum(hk_vk)                                # [n_sc]
     hk_vk_noise_scaler = jnp.mean(jnp.abs(hk_vk_avg) ** 2)
 
+    # per-antenna alpha uses the *global* antenna count but only the local
+    # precoder power (reference/mp_model.py:315-317)
     ak_vect = per_antenna_alpha(ibo_db, vk_pow_vec, n_sc, n_ant)
-    ak_hk_vk_avg = jnp.sum(ak_vect[:, None].astype(hk_vk.dtype) * hk_vk, axis=0)
+    ak_hk_vk_avg = ant_sum(ak_vect[:, None].astype(hk_vk.dtype) * hk_vk)
     ak_hk_vk_noise_scaler = jnp.mean(jnp.abs(ak_hk_vk_avg) ** 2)
 
     return AgcState(

@@ -30,12 +30,20 @@ from mimo_ofdm_tpu.models.geometry import C_LIGHT
 from mimo_ofdm_tpu.ops.noise import complex_normal
 
 
-def propagate(channel_mat_fd: Array, in_sig_mat: Array, sum_signals: bool = True) -> Array:
+def propagate(channel_mat_fd: Array, in_sig_mat: Array, sum_signals: bool = True,
+              ant_axis_name: str | None = None) -> Array:
     """``H o X`` then (optionally) sum over the antenna axis
     (``reference/channel.py:74-89``). Broadcasts over leading batch dims;
-    the antenna axis is ``-2``."""
+    the antenna axis is ``-2``. Under antenna parallelism the sum is a
+    local reduce + ``psum`` over the antenna mesh axis — the TPU-native
+    combine of the per-antenna signals (SURVEY.md section 2.3 P2)."""
     out = in_sig_mat * channel_mat_fd
-    return jnp.sum(out, axis=-2) if sum_signals else out
+    if not sum_signals:
+        return out
+    s = jnp.sum(out, axis=-2)
+    if ant_axis_name is not None:
+        s = jax.lax.psum(s, ant_axis_name)
+    return s
 
 
 def _distances(tx_pos: Array, rx_pos: Array) -> Array:

@@ -51,8 +51,9 @@ def link_static(cfg: LinkConfig, dtype=jnp.complex64):
         jnp.asarray(rx_base, jnp.float32)
 
 
-def make_channel_fn(cfg: LinkConfig, tx_pos: Array, freqs: Array, rx_base: Array,
-                    reroll: bool, dtype=jnp.complex64):
+def make_channel_fn(cfg: LinkConfig, freqs: Array, rx_base: Array,
+                    reroll: bool, dtype=jnp.complex64,
+                    ant_axis_name: str | None = None):
     """Channel generator keyed per frame. For geometric channels the
     reroll perturbs the RX position uniformly in ``+-loc_var/2``
     (``reference/mp_model.py:140-150``; note the reference derives *both*
@@ -70,7 +71,7 @@ def make_channel_fn(cfg: LinkConfig, tx_pos: Array, freqs: Array, rx_base: Array
                                  maxval=cfg.rx.loc_var / 2.0)
         return rx_base + jnp.concatenate([off, jnp.zeros(1)])
 
-    def channel_fn(key):
+    def channel_fn(key, tx_pos):
         k_loc, k_fade = jax.random.split(key)
         if model == "awgn":
             return jnp.ones((tx_pos.shape[0], freqs.shape[0]), dtype)
@@ -81,6 +82,13 @@ def make_channel_fn(cfg: LinkConfig, tx_pos: Array, freqs: Array, rx_base: Array
             return channels.two_path_channel(tx_pos, rx_position(k_loc), freqs,
                                              skip_att, dtype=dtype)
         if model == "rayleigh":
+            if ant_axis_name is not None:
+                # per-antenna fades are IID, so each antenna shard must draw
+                # from an independent stream; geometric/path-based models are
+                # deterministic in tx_pos (or share path draws across
+                # antennas) and need no decorrelation.
+                k_fade = jax.random.fold_in(k_fade,
+                                            jax.lax.axis_index(ant_axis_name))
             return channels.rayleigh_channel(k_fade, tx_pos, rx_base, freqs,
                                              skip_att, dtype=dtype)
         if model == "random_paths":
@@ -98,48 +106,68 @@ def make_channel_fn(cfg: LinkConfig, tx_pos: Array, freqs: Array, rx_base: Array
 
 
 def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
-                  reroll: bool = True, dtype=jnp.complex64):
-    """Build the per-frame simulator ``frame_fn(key, snr_db) -> FrameCounters``.
+                  reroll: bool = True, dtype=jnp.complex64,
+                  ant_axis_name: str | None = None):
+    """Build the per-frame simulator
+    ``frame_fn(key, snr_db, tx_pos) -> FrameCounters``.
 
     One call reproduces one pass of the reference's clean + distorted
     while-loop bodies (``reference/mp_model.py:136-222``): both runs use
     independent bit/noise draws, the distorted run feeds the CNC/MCNC
     receiver and errors are counted per iteration tap.
+
+    ``tx_pos`` is the ``[n_ant, 3]`` element-position array — or the local
+    ``[n_ant/tp, 3]`` shard when ``ant_axis_name`` names an antenna mesh
+    axis inside ``shard_map``; every antenna-axis reduction then rides a
+    ``psum`` over ICI (SURVEY.md section 2.3 P2).
     """
     m = cfg.modem.constel_size
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
-    n_ant = cfg.array.n_elements
+    n_ant = cfg.array.n_elements   # global count (alpha/IBO formulas use it)
     n_bits = cfg.modem.n_bits_per_ofdm_sym
     ibo_db = cfg.pa.ibo_db
     avg_sym_pow = cfg.modem.avg_symbol_power
     avg_samp_pow = cfg.modem.avg_sample_power
     pa_model = cfg.pa.model
 
-    tx_pos, freqs, rx_base = link_static(cfg, dtype)
-    channel_fn = make_channel_fn(cfg, tx_pos, freqs, rx_base, reroll, dtype)
-    precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users)
+    _, freqs, rx_base = link_static(cfg, dtype)
+    channel_fn = make_channel_fn(cfg, freqs, rx_base, reroll, dtype,
+                                 ant_axis_name)
+    if cfg.modem.n_users == 1 and cfg.precoding == "mrt":
+        def precoder(h_sc):
+            return precoding.mrt_precoder(h_sc, ant_axis_name)
+    else:
+        if ant_axis_name is not None:
+            raise NotImplementedError(
+                "antenna-axis sharding currently supports single-user MRT")
+        precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users)
 
-    def frame_fn(key: Array, snr_db: Array) -> FrameCounters:
+    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> FrameCounters:
         k_chan, k_csi, k_bits_c, k_bits_d, k_noise_c, k_noise_d = \
             jax.random.split(key, 6)
 
-        h_fd = channel_fn(k_chan)                       # [n_ant, n_fft] true channel
+        h_fd = channel_fn(k_chan, tx_pos)               # [n_ant, n_fft] true channel
         if cfg.csi_epsilon:
+            if ant_axis_name is not None:
+                k_csi = jax.random.fold_in(k_csi,
+                                           jax.lax.axis_index(ant_axis_name))
             h_pre_fd = channels.csi_error_channel(k_csi, h_fd, n_sc, cfg.csi_epsilon)
         else:
             h_pre_fd = h_fd
         h_pre_sc = ofdm.extract_subcarriers(h_pre_fd, n_sc)
 
         v = precoder(h_pre_sc)                          # [n_ant, n_sc]
-        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
-        agc = agc_mod.compute_agc(h_pre_sc, v, ibo_db, n_ant, n_fft)
+        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v,
+                                         ant_axis_name, n_ant)
+        agc = agc_mod.compute_agc(h_pre_sc, v, ibo_db, n_ant, n_fft,
+                                  ant_axis_name=ant_axis_name)
 
         # --- clean run (reference/mp_model.py:136-175) ---
         if incl_clean:
             bits_c = jax.random.bernoulli(k_bits_c, 0.5, (n_bits,)).astype(jnp.int8)
             fd_clean = transmit.array_transmit_fd(
                 bits_c, constel_size=m, n_fft=n_fft, v=v, skip_dist=True, dtype=dtype)
-            rx_c = channels.propagate(h_fd, fd_clean)
+            rx_c = channels.propagate(h_fd, fd_clean, ant_axis_name=ant_axis_name)
             rx_c = noise_ops.awgn(k_noise_c, rx_c, snr_db,
                                   avg_sym_pow * agc.hk_vk_noise_scaler)
             rx_c = receivers.equalize(rx_c, agc.hk_vk_agc_nfft)
@@ -153,7 +181,7 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         fd_dist = transmit.array_transmit_fd(
             bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
             sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
-        rx_d = channels.propagate(h_fd, fd_dist)
+        rx_d = channels.propagate(h_fd, fd_dist, ant_axis_name=ant_axis_name)
         rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
                               avg_sym_pow * agc.ak_hk_vk_noise_scaler)
         rx_d = receivers.equalize(rx_d, agc.ak_hk_vk_agc_nfft)
@@ -169,7 +197,7 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
             replica = receivers.make_mcnc_replica(
                 h_pre_fd, v, agc.ak_hk_vk_agc_nfft, constel_size=m,
                 n_fft=n_fft, n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
-                rapp_p=cfg.pa.rapp_p_hardness)
+                rapp_p=cfg.pa.rapp_p_hardness, ant_axis_name=ant_axis_name)
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
         elif cfg.rx.algorithm == "none":
             one = receivers.standard_receive(rx_d, n_sc, m)
@@ -193,11 +221,12 @@ def make_round_fn(cfg: LinkConfig, n_iters: int, batch: int, *,
     (``reference/mp_model.py:137,181``)."""
     frame_fn = make_frame_fn(cfg, n_iters, incl_clean=incl_clean,
                              reroll=reroll, dtype=dtype)
+    tx_pos = link_static(cfg, dtype)[0]
 
     @jax.jit
     def round_fn(key: Array, snr_db: Array) -> FrameCounters:
         keys = jax.random.split(key, batch)
-        counters = jax.vmap(frame_fn, in_axes=(0, None))(keys, snr_db)
+        counters = jax.vmap(frame_fn, in_axes=(0, None, None))(keys, snr_db, tx_pos)
         # int32 is ample for one round's error counts; the host accumulates
         # across rounds in Python ints (TPU has no native int64).
         return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32), counters)

@@ -20,17 +20,30 @@ Conventions:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
 from mimo_ofdm_tpu.ops.pa import bussgang_alpha
 
 
-def mrt_precoder(h_sc: Array) -> Array:
+def _ant_sum(x: Array, axis, ant_axis_name: str | None):
+    """Sum over the (possibly mesh-sharded) antenna axis: local sum plus a
+    ``psum`` over the antenna mesh axis when the model is antenna-parallel
+    (SPMD over ICI; SURVEY.md section 2.3 P2)."""
+    s = jnp.sum(x, axis=axis)
+    if ant_axis_name is not None:
+        s = jax.lax.psum(s, ant_axis_name)
+    return s
+
+
+def mrt_precoder(h_sc: Array, ant_axis_name: str | None = None) -> Array:
     """Maximum-ratio transmission with equal-total-TX-power normalization:
     ``V = conj(H) / sqrt(sum_ant |H|^2)`` per subcarrier
-    (``reference/antenna_array.py:167-171``). ``h_sc``: ``[n_ant, n_sc]``."""
-    norm = jnp.sqrt(jnp.sum(jnp.abs(h_sc) ** 2, axis=-2, keepdims=True))
+    (``reference/antenna_array.py:167-171``). ``h_sc``: ``[n_ant, n_sc]``
+    (the local antenna shard under antenna parallelism)."""
+    norm2 = _ant_sum(jnp.abs(h_sc) ** 2, -2, ant_axis_name)
+    norm = jnp.sqrt(norm2)[..., None, :]
     return jnp.conj(h_sc) / norm.astype(h_sc.dtype)
 
 
@@ -109,13 +122,18 @@ def precoding_power_per_antenna(v: Array) -> Array:
     return jnp.sum(jnp.abs(v) ** 2, axis=(-2, -1))
 
 
-def avg_precoding_gain(v: Array) -> Array:
+def avg_precoding_gain(v: Array, ant_axis_name: str | None = None,
+                       n_ant_global: int | None = None) -> Array:
     """Mean precoding power gain over antennas x subcarriers
     (``reference/antenna_array.py:328-341``): single-user mean |V|^2; for
-    multi-user the per-(ant,sc) power summed over users, then averaged."""
-    if v.ndim == 2:
-        return jnp.mean(jnp.abs(v) ** 2)
-    return jnp.mean(jnp.sum(jnp.abs(v) ** 2, axis=-2))
+    multi-user the per-(ant,sc) power summed over users, then averaged.
+    Under antenna parallelism pass the mesh axis name and the *global*
+    antenna count."""
+    pw = jnp.abs(v) ** 2 if v.ndim == 2 else jnp.sum(jnp.abs(v) ** 2, axis=-2)
+    if ant_axis_name is None:
+        return jnp.mean(pw)
+    total = jax.lax.psum(jnp.sum(pw), ant_axis_name)
+    return total / (n_ant_global * v.shape[-1])
 
 
 def per_antenna_ibo_db(ibo_db: float, vk_pow_vec: Array, n_sub_carr: int,
@@ -134,9 +152,12 @@ def per_antenna_alpha(ibo_db: float, vk_pow_vec: Array, n_sub_carr: int,
     return bussgang_alpha(per_antenna_ibo_db(ibo_db, vk_pow_vec, n_sub_carr, n_ant))
 
 
-def pa_sat_power(ibo_db: float, avg_sample_power: float, v: Array) -> Array:
+def pa_sat_power(ibo_db: float, avg_sample_power: float, v: Array,
+                 ant_axis_name: str | None = None,
+                 n_ant_global: int | None = None) -> Array:
     """Per-array PA saturation power under constant IBO: the reference
     rescales every PA's expected average power by the mean precoding gain
     (``reference/antenna_array.py:313-360``):
     ``sat = 10^(ibo/10) * avg_sample_power * avg_precoding_gain``."""
-    return (10.0 ** (ibo_db / 10.0) * avg_sample_power * avg_precoding_gain(v))
+    return (10.0 ** (ibo_db / 10.0) * avg_sample_power
+            * avg_precoding_gain(v, ant_axis_name, n_ant_global))

@@ -106,7 +106,8 @@ def make_cnc_replica(constel_size: int, n_fft: int, n_sc: int, ibo_db: float,
 def make_mcnc_replica(h_fd: Array, v: Array, agc_corr_nfft: Array, *,
                       constel_size: int, n_fft: int, n_sc: int,
                       pa_model: str = "softlim", sat_power: Array | float,
-                      rapp_p: float = 1.1, toi_coeff: Array | float = 0.0):
+                      rapp_p: float = 1.1, toi_coeff: Array | float = 0.0,
+                      ant_axis_name: str | None = None):
     """Replica of the full TX array + channel + AGC
     (``reference/corrector.py:198-205``): detected symbols are re-precoded,
     re-clipped per antenna, propagated through ``h_fd`` and divided by the
@@ -118,7 +119,7 @@ def make_mcnc_replica(h_fd: Array, v: Array, agc_corr_nfft: Array, *,
         td = ofdm.fd_to_td(fd_clean)
         td_dist = transmit.pa_transfer(td, pa_model, sat_power, rapp_p, toi_coeff)
         fd_dist = ofdm.td_to_fd(td_dist)
-        rx = channels.propagate(h_fd, fd_dist)
+        rx = channels.propagate(h_fd, fd_dist, ant_axis_name=ant_axis_name)
         rx = rx / agc_corr_nfft
         return ofdm.extract_subcarriers(rx, n_sc)
 

@@ -1,0 +1,93 @@
+"""Multi-chip SPMD Monte-Carlo: trial-parallel x antenna-parallel rounds.
+
+The reference scales by forking OS processes that race on lock-protected
+shared BER counters (``reference/mp_model.py:89-222``,
+``reference/main_mp_clipping_noise_cancellation/main_mp_miso_cnc_ber_vs_ebn0.py:119-132``).
+The TPU-native design maps onto a 2-D device mesh:
+
+* ``dp`` (trial axis)  — each device simulates an independent slice of the
+  Monte-Carlo frame batch; error counters reduce with a single ``psum``
+  (replacing the shared ``multiprocessing.Array``; SURVEY.md section 2.3
+  P1/P4).
+* ``tp`` (antenna axis) — the ``[n_ant, n_fft]`` per-antenna signal stack
+  is sharded over antennas; MRT normalization, AGC sums and the channel
+  combine ``sum_ant H o X`` become local reductions + ``psum`` over ICI
+  (SURVEY.md section 2.3 P2).
+
+Counters come back replicated on every device, so the host stop-criterion
+loop (:mod:`mimo_ofdm_tpu.parallel.montecarlo`) is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mimo_ofdm_tpu.models.link import FrameCounters, link_static, make_frame_fn
+from mimo_ofdm_tpu.utils.config import LinkConfig
+
+
+def make_mesh(n_dp: int | None = None, n_tp: int = 1,
+              devices=None) -> Mesh:
+    """Build a ``(dp, tp)`` mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_dp is None:
+        n_dp = devices.size // n_tp
+    if n_dp * n_tp != devices.size:
+        devices = devices[: n_dp * n_tp]
+    return Mesh(devices.reshape(n_dp, n_tp), ("dp", "tp"))
+
+
+def make_sharded_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
+                          mesh: Mesh, *, incl_clean: bool = True,
+                          reroll: bool = True, dtype=jnp.complex64):
+    """Jitted SPMD round: ``round_fn(key, snr_db) -> FrameCounters``
+    (summed over the global ``batch``; replicated outputs).
+
+    ``batch`` must divide by the ``dp`` mesh size and ``cfg.array.n_elements``
+    by the ``tp`` size. Runs on any mesh, including a CPU host mesh with
+    ``--xla_force_host_platform_device_count`` for testing.
+    """
+    n_dp = mesh.shape["dp"]
+    n_tp = mesh.shape["tp"]
+    n_ant = cfg.array.n_elements
+    if batch % n_dp:
+        raise ValueError(f"batch {batch} not divisible by dp={n_dp}")
+    if n_ant % n_tp:
+        raise ValueError(f"n_ant {n_ant} not divisible by tp={n_tp}")
+
+    ant_axis = "tp" if n_tp > 1 else None
+    frame_fn = make_frame_fn(cfg, n_iters, incl_clean=incl_clean,
+                             reroll=reroll, dtype=dtype,
+                             ant_axis_name=ant_axis)
+    tx_pos_global = link_static(cfg, dtype)[0]        # [n_ant, 3]
+
+    def spmd_body(keys_local, snr_db, tx_pos_local):
+        # keys_local: [batch/dp, 2(key)]; tx_pos_local: [n_ant/tp, 3]
+        counters = jax.vmap(frame_fn, in_axes=(0, None, None))(
+            keys_local, snr_db, tx_pos_local)
+        local = jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
+                             counters)
+        return jax.tree.map(lambda x: jax.lax.psum(x, "dp"), local)
+
+    spmd = jax.shard_map(
+        spmd_body, mesh=mesh,
+        in_specs=(P("dp"), P(), P("tp")),
+        out_specs=FrameCounters(clean_err=P(), dist_err=P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def round_fn(key, snr_db):
+        keys = jax.random.split(key, batch)
+        return spmd(keys, snr_db, tx_pos_global)
+
+    return round_fn
+
+
+def make_dp_round_fn(cfg: LinkConfig, n_iters: int, batch: int, mesh: Mesh,
+                     **kw):
+    """Pure data-parallel round (tp=1) — the common fast path."""
+    return make_sharded_round_fn(cfg, n_iters, batch, mesh, **kw)
