@@ -1,0 +1,85 @@
+"""Sharded Monte-Carlo correctness on a virtual 8-device CPU mesh
+(SURVEY.md section 4 "multi-host tests ... compare sharded vs
+single-device BER counters")."""
+
+import numpy as np
+import jax
+import pytest
+
+from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig, LinkConfig,
+                                        ModemConfig, PaConfig, RxConfig)
+from mimo_ofdm_tpu.models.link import make_round_fn
+from mimo_ofdm_tpu.parallel.sharded import make_mesh, make_sharded_round_fn
+
+
+def small_cfg(chan="rayleigh", alg="mcnc"):
+    return LinkConfig(
+        modem=ModemConfig(constel_size=64, n_fft=256, n_sub_carr=128, cp_len=16),
+        array=ArrayConfig(n_elements=8),
+        channel=ChannelConfig(model=chan),
+        precoding="mrt",
+        pa=PaConfig(model="softlim", ibo_db=0.0),
+        rx=RxConfig(algorithm=alg),
+    )
+
+
+needs_8_devices = pytest.mark.skipif(len(jax.devices()) < 8,
+                                     reason="needs 8 virtual devices")
+
+
+@needs_8_devices
+def test_dp_sharding_bit_identical_to_single_device():
+    """Pure trial parallelism must reproduce single-device counters
+    bit-exactly (same keys, same math, psum is exact for ints)."""
+    cfg = small_cfg()
+    key = jax.random.key(3)
+    single = make_round_fn(cfg, 3, 16)(key, 15.0)
+    mesh = make_mesh(n_dp=8, n_tp=1)
+    sharded = make_sharded_round_fn(cfg, 3, 16, mesh)(key, 15.0)
+    assert int(single.clean_err) == int(sharded.clean_err)
+    np.testing.assert_array_equal(np.asarray(single.dist_err),
+                                  np.asarray(sharded.dist_err))
+
+
+@needs_8_devices
+def test_tp_sharding_bit_identical_for_geometric_channel():
+    """Antenna sharding of a deterministic (LOS) channel is exact: every
+    collective reduction must reproduce the local sums."""
+    cfg = small_cfg(chan="los", alg="cnc")
+    key = jax.random.key(4)
+    single = make_round_fn(cfg, 2, 8)(key, 15.0)
+    mesh = make_mesh(n_dp=4, n_tp=2)
+    sharded = make_sharded_round_fn(cfg, 2, 8, mesh)(key, 15.0)
+    assert int(single.clean_err) == int(sharded.clean_err)
+    np.testing.assert_array_equal(np.asarray(single.dist_err),
+                                  np.asarray(sharded.dist_err))
+
+
+@needs_8_devices
+def test_tp_sharding_statistically_consistent_for_rayleigh():
+    """Antenna-sharded Rayleigh draws per-shard fade streams, so counters
+    differ bit-wise but BER must agree within Monte-Carlo tolerance."""
+    cfg = small_cfg()
+    n_frames = 64
+    n_bits = cfg.modem.n_bits_per_ofdm_sym * n_frames
+    key = jax.random.key(5)
+    single = make_round_fn(cfg, 2, n_frames)(key, 15.0)
+    mesh = make_mesh(n_dp=4, n_tp=2)
+    sharded = make_sharded_round_fn(cfg, 2, n_frames, mesh)(key, 15.0)
+    ber_s = np.asarray(single.dist_err) / n_bits
+    ber_p = np.asarray(sharded.dist_err) / n_bits
+    np.testing.assert_allclose(ber_p, ber_s, rtol=0.25)
+
+
+@needs_8_devices
+def test_mesh_shapes():
+    mesh = make_mesh(n_dp=4, n_tp=2)
+    assert mesh.shape["dp"] == 4 and mesh.shape["tp"] == 2
+    mesh = make_mesh(n_tp=1)
+    assert mesh.shape["dp"] == len(jax.devices())
+
+
+@needs_8_devices
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
