@@ -1,0 +1,171 @@
+"""Multi-user link frame simulator.
+
+TPU-native analogue of the multi-user experiment family
+(``reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py``): per-user
+channels at distinct positions, joint MRT/ZF precoding over users, one
+summed MU transmit, then per-user propagation, AWGN (per-user noise
+scaler), AGC and reception with per-user BER counters.
+
+Receiver algorithms:
+
+* ``cnc``     — plain single-user CNC per user (the reference's "CNC"
+  MU curves, ``main_multiuser_cnc_ber_vs_ebn0.py:600-601``)
+* ``cnc_mu``  — CNC with known other-user symbols ("CNCWI",
+  ``reference/corrector.py:248-345``)
+* ``mcnc_mu`` — MCNC with known other-user bits ("MCNCWI",
+  ``reference/corrector.py:348-489``)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from mimo_ofdm_tpu.ops import bits as bits_ops
+from mimo_ofdm_tpu.ops import noise as noise_ops
+from mimo_ofdm_tpu.ops import ofdm, qam
+from mimo_ofdm_tpu.models import agc as agc_mod
+from mimo_ofdm_tpu.models import channels, precoding, receivers, transmit
+from mimo_ofdm_tpu.models.link import link_static, make_channel_fn
+from mimo_ofdm_tpu.utils.config import LinkConfig
+
+
+def default_user_positions(angles_deg=(-30.0, 30.0), distances=(100.0, 316.3),
+                           cord_z: float = 1.5) -> np.ndarray:
+    """Canonical 2-user geometry: ±30° at 100 / 316.3 m
+    (``reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py:37-46``)."""
+    out = []
+    for ang, dist in zip(angles_deg, distances):
+        a = np.deg2rad(ang + 90.0)
+        out.append((np.cos(a) * dist, np.sin(a) * dist, cord_z))
+    return np.asarray(out)
+
+
+class MuFrameCounters(NamedTuple):
+    clean_err: Array   # [n_usr] int32
+    dist_err: Array    # [n_usr, n_iters + 1] int32
+
+
+def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
+                     *, incl_clean: bool = True, reroll: bool = True,
+                     dtype=jnp.complex64):
+    """Per-frame MU simulator ``frame_fn(key, snr_db, tx_pos) ->
+    MuFrameCounters``."""
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    n_usr = len(user_positions)
+    n_bits = cfg.modem.n_bits_per_ofdm_sym
+    ibo_db = cfg.pa.ibo_db
+    avg_sym_pow = cfg.modem.avg_symbol_power
+    avg_samp_pow = cfg.modem.avg_sample_power
+    pa_model = cfg.pa.model
+    algorithm = cfg.rx.algorithm
+
+    _, freqs, _ = link_static(cfg, dtype)
+    precoder = precoding.make_precoder(cfg.precoding, n_users=n_usr)
+
+    # one channel generator per user position (rebasing rx_base per user)
+    user_channel_fns = []
+    for u in range(n_usr):
+        cfg_u = cfg.replace(rx=cfg.rx)  # geometry comes via rx_base below
+        chan_fn = make_channel_fn(cfg_u, freqs,
+                                  jnp.asarray(user_positions[u], jnp.float32),
+                                  reroll, dtype)
+        user_channel_fns.append(chan_fn)
+
+    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> MuFrameCounters:
+        keys = jax.random.split(key, 4 + n_usr)
+        k_bits_c, k_bits_d, k_noise_c, k_noise_d = keys[:4]
+
+        h_fd_usr = jnp.stack([user_channel_fns[u](keys[4 + u], tx_pos)
+                              for u in range(n_usr)])      # [n_usr, n_ant, n_fft]
+        h_sc_usr = ofdm.extract_subcarriers(h_fd_usr, n_sc)
+
+        v = precoder(h_sc_usr)                              # [n_ant, n_usr, n_sc]
+        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
+        agc_usr = [agc_mod.compute_agc(h_sc_usr[u], v, ibo_db, n_ant, n_fft,
+                                       usr_idx=u) for u in range(n_usr)]
+
+        # --- clean run ---
+        if incl_clean:
+            bits_c = jax.random.bernoulli(k_bits_c, 0.5,
+                                          (n_usr, n_bits)).astype(jnp.int8)
+            fd_clean = transmit.array_transmit_fd(
+                bits_c, constel_size=m, n_fft=n_fft, v=v, skip_dist=True,
+                dtype=dtype)
+            clean_errs = []
+            for u in range(n_usr):
+                rx = channels.propagate(h_fd_usr[u], fd_clean)
+                rx = noise_ops.awgn(jax.random.fold_in(k_noise_c, u), rx, snr_db,
+                                    avg_sym_pow * agc_usr[u].hk_vk_noise_scaler)
+                rx = receivers.equalize(rx, agc_usr[u].hk_vk_agc_nfft)
+                rx_bits = receivers.standard_receive(rx, n_sc, m)
+                clean_errs.append(bits_ops.count_bit_errors(bits_c[u], rx_bits))
+            clean_err = jnp.stack(clean_errs)
+        else:
+            clean_err = jnp.zeros((n_usr,), jnp.int32)
+
+        # --- distorted run ---
+        bits_d = jax.random.bernoulli(k_bits_d, 0.5,
+                                      (n_usr, n_bits)).astype(jnp.int8)
+        tx_sym = qam.modulate_bits(bits_d, m, dtype)        # [n_usr, n_sc]
+        fd_dist = transmit.array_transmit_fd(
+            bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+
+        dist_errs = []
+        for u in range(n_usr):
+            rx = channels.propagate(h_fd_usr[u], fd_dist)
+            rx = noise_ops.awgn(jax.random.fold_in(k_noise_d, u), rx, snr_db,
+                                avg_sym_pow * agc_usr[u].ak_hk_vk_noise_scaler)
+            rx = receivers.equalize(rx, agc_usr[u].ak_hk_vk_agc_nfft)
+            rx_sc = ofdm.extract_subcarriers(rx, n_sc)
+
+            other = tx_sym[1 - u] if n_usr == 2 else None
+            if algorithm == "cnc":
+                replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
+                                                     pa_model)
+            elif algorithm == "cnc_mu":
+                replica = receivers.make_cnc_mu_replica(
+                    other, constel_size=m, n_fft=n_fft, n_sc=n_sc,
+                    ibo_db=ibo_db, pa_model=pa_model)
+            elif algorithm == "mcnc_mu":
+                replica = receivers.make_mcnc_mu_replica(
+                    other, u, h_fd_usr[u], v, agc_usr[u].ak_hk_vk_agc_nfft,
+                    constel_size=m, n_fft=n_fft, n_sc=n_sc, pa_model=pa_model,
+                    sat_power=sat_pow)
+            else:
+                raise ValueError(f"unsupported MU rx algorithm {algorithm!r}")
+            bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
+            dist_errs.append(bits_ops.count_bit_errors(bits_d[u], bits_all,
+                                                       axis=-1))
+        return MuFrameCounters(clean_err=clean_err,
+                               dist_err=jnp.stack(dist_errs))
+
+    return frame_fn
+
+
+def make_mu_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
+                     user_positions: np.ndarray | None = None, *,
+                     incl_clean: bool = True, reroll: bool = True,
+                     dtype=jnp.complex64):
+    """Jitted MU Monte-Carlo round summed over ``batch`` frames."""
+    if user_positions is None:
+        user_positions = default_user_positions()
+    frame_fn = make_mu_frame_fn(cfg, n_iters, user_positions,
+                                incl_clean=incl_clean, reroll=reroll,
+                                dtype=dtype)
+    tx_pos = link_static(cfg, dtype)[0]
+
+    @jax.jit
+    def round_fn(key: Array, snr_db: Array) -> MuFrameCounters:
+        keys = jax.random.split(key, batch)
+        counters = jax.vmap(frame_fn, in_axes=(0, None, None))(keys, snr_db, tx_pos)
+        return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32), counters)
+
+    return round_fn
