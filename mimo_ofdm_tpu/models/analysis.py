@@ -1,0 +1,174 @@
+"""Spatial/spectral distortion analysis: Bussgang split, SDR, beampatterns,
+Welch PSD.
+
+TPU-native rebuild of the beampattern/SDR experiment family
+(``reference/main_beampatterns_plotting/main_mrt_precoding_radiation_pattern.py:95-210``,
+``main_sdr_vs_ibo_vs_channel.py``): instead of a Python loop over 181
+evaluation points x 100 snapshots, points and snapshots are batch axes of
+one jitted computation (chunked with ``lax.map`` over points to bound
+memory).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from mimo_ofdm_tpu.ops import ofdm
+from mimo_ofdm_tpu.models import agc as agc_mod
+from mimo_ofdm_tpu.models import channels, geometry, precoding, transmit
+from mimo_ofdm_tpu.models.link import link_static, make_channel_fn
+from mimo_ofdm_tpu.utils.config import LinkConfig
+
+
+def bussgang_split(rx_fd: Array, clean_fd: Array, ak_vect: Array):
+    """Per-antenna Bussgang decomposition at the receiver:
+    ``desired = a_k o clean``, ``distortion = rx - a_k o clean``
+    (``reference/main_beampatterns_plotting/main_mrt_precoding_radiation_pattern.py:149-151``).
+    ``rx_fd``/``clean_fd``: ``[..., n_ant, n_bins]``; ``ak_vect``: ``[n_ant]``."""
+    a = ak_vect[..., :, None].astype(clean_fd.dtype)
+    desired = a * clean_fd
+    return desired, rx_fd - desired
+
+
+def welch_psd(x: Array, nfft: int, nperseg: int, fs: float | None = None):
+    """Two-sided Welch PSD matching ``scipy.signal.welch(x, fs=nfft,
+    nfft=nfft, nperseg=nperseg, return_onesided=False)`` as used by the
+    reference (``main_mrt_precoding_radiation_pattern.py:181-200``):
+    Hann window, 50% overlap, per-segment mean removal (constant detrend).
+    Returns ``(freqs, psd)`` in FFT order."""
+    if fs is None:
+        fs = float(nfft)
+    step = nperseg - nperseg // 2
+    n_seg = max(1, (x.shape[-1] - nperseg) // step + 1)
+    idx = np.arange(n_seg)[:, None] * step + np.arange(nperseg)[None, :]
+    segs = x[..., idx]                                    # [..., n_seg, nperseg]
+    segs = segs - jnp.mean(segs, axis=-1, keepdims=True)  # constant detrend
+    win = jnp.asarray(_scipy_hann(nperseg))
+    scale = 1.0 / (fs * jnp.sum(win ** 2))
+    spec = jnp.fft.fft(segs * win, n=nfft, axis=-1)
+    psd = scale * jnp.mean(jnp.abs(spec) ** 2, axis=-2)
+    freqs = jnp.fft.fftfreq(nfft, d=1.0 / fs)
+    return freqs, psd
+
+
+def _scipy_hann(n: int) -> np.ndarray:
+    """scipy's symmetric-periodic "hann" window as used by ``welch``
+    (periodic, sym=False)."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+class BeampatternResult(NamedTuple):
+    angles_rad: np.ndarray       # [n_points+1] evaluation angles
+    desired_pow: Array           # [n_points+1] summed desired power
+    distortion_pow: Array        # [n_points+1] summed distortion power
+
+    @property
+    def sdr_db(self):
+        return 10.0 * jnp.log10(self.desired_pow / self.distortion_pow)
+
+
+def beampattern_scan(cfg: LinkConfig, key: Array, *, precoding_angle_deg: float = 45.0,
+                     n_points: int = 180, n_snapshots: int = 16,
+                     radial_distance: float = 300.0, point_chunk: int = 16,
+                     dtype=jnp.complex64) -> BeampatternResult:
+    """Desired vs distortion radiation pattern of a precoded array
+    (``reference/main_beampatterns_plotting/main_mrt_precoding_radiation_pattern.py:117-173``):
+
+    1. precode (MRT) toward the point at ``precoding_angle_deg`` on a
+       semicircle of ``radial_distance``;
+    2. for every one of ``n_points+1`` semicircle points, transmit
+       ``n_snapshots`` random frames with and without PA distortion,
+       propagate per antenna (no combine), Bussgang-split with the
+       per-antenna ``a_k`` and accumulate data-subcarrier powers.
+    """
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    ibo_db = cfg.pa.ibo_db
+
+    tx_pos, freqs, _ = link_static(cfg, dtype)
+    pts2d = geometry.pts_on_semicircum(radial_distance, n_points)
+    pts = np.concatenate([pts2d, np.full((len(pts2d), 1), cfg.rx.cord_z)], axis=1)
+    angles = np.radians(np.linspace(-90, 90, n_points + 1))
+
+    prec_idx = int(n_points / 180 * precoding_angle_deg)
+    prec_pos = jnp.asarray(pts[prec_idx], jnp.float32)
+
+    h_prec = channels.los_channel(tx_pos, prec_pos, freqs, dtype=dtype)
+    h_prec_sc = ofdm.extract_subcarriers(h_prec, n_sc)
+    v = precoding.mrt_precoder(h_prec_sc)
+    sat_pow = precoding.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
+    vk_pow = precoding.precoding_power_per_antenna(v)
+    ak_vect = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+
+    snap_keys = jax.random.split(key, n_snapshots)
+
+    def one_point(rx_pos):
+        h = channels.los_channel(tx_pos, rx_pos, freqs, dtype=dtype)
+
+        def one_snap(k):
+            bits = jax.random.bernoulli(k, 0.5,
+                                        (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+            fd_dist, fd_clean = transmit.array_transmit_fd(
+                bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
+                sat_power=sat_pow, return_clean=True, dtype=dtype)
+            rx = channels.propagate(h, fd_dist, sum_signals=False)
+            rx_clean = channels.propagate(h, fd_clean, sum_signals=False)
+            rx_sc = ofdm.extract_subcarriers(rx, n_sc)
+            cl_sc = ofdm.extract_subcarriers(rx_clean, n_sc)
+            desired, distortion = bussgang_split(rx_sc, cl_sc, ak_vect)
+            d_pow = jnp.sum(jnp.abs(jnp.sum(desired, axis=0)) ** 2)
+            e_pow = jnp.sum(jnp.abs(jnp.sum(distortion, axis=0)) ** 2)
+            return d_pow, e_pow
+
+        d, e = jax.vmap(one_snap)(snap_keys)
+        return jnp.sum(d), jnp.sum(e)
+
+    d_pow, e_pow = jax.lax.map(jax.jit(one_point), jnp.asarray(pts, jnp.float32),
+                               batch_size=point_chunk)
+    return BeampatternResult(angles_rad=angles, desired_pow=d_pow,
+                             distortion_pow=e_pow)
+
+
+def sdr_at_point(cfg: LinkConfig, key: Array, rx_pos, n_snapshots: int = 16,
+                 dtype=jnp.complex64) -> Array:
+    """Signal-to-distortion ratio at one RX point (summed combine),
+    the per-(IBO, channel) measurement of
+    ``reference/main_beampatterns_plotting/main_sdr_vs_ibo_vs_channel.py``."""
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    ibo_db = cfg.pa.ibo_db
+    tx_pos, freqs, _ = link_static(cfg, dtype)
+    rx_pos = jnp.asarray(rx_pos, jnp.float32)
+
+    chan_fn = make_channel_fn(cfg, freqs, rx_pos, reroll=False, dtype=dtype)
+
+    def one_snap(k):
+        k_chan, k_bits = jax.random.split(k)
+        h = chan_fn(k_chan, tx_pos)
+        h_sc = ofdm.extract_subcarriers(h, n_sc)
+        v = precoding.mrt_precoder(h_sc)
+        sat_pow = precoding.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
+        vk_pow = precoding.precoding_power_per_antenna(v)
+        ak = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+        bits = jax.random.bernoulli(k_bits, 0.5,
+                                    (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+        fd_dist, fd_clean = transmit.array_transmit_fd(
+            bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
+            sat_power=sat_pow, return_clean=True, dtype=dtype)
+        rx_sc = ofdm.extract_subcarriers(
+            channels.propagate(h, fd_dist, sum_signals=False), n_sc)
+        cl_sc = ofdm.extract_subcarriers(
+            channels.propagate(h, fd_clean, sum_signals=False), n_sc)
+        desired, distortion = bussgang_split(rx_sc, cl_sc, ak)
+        return (jnp.sum(jnp.abs(jnp.sum(desired, axis=0)) ** 2),
+                jnp.sum(jnp.abs(jnp.sum(distortion, axis=0)) ** 2))
+
+    d, e = jax.vmap(one_snap)(jax.random.split(key, n_snapshots))
+    return 10.0 * jnp.log10(jnp.sum(d) / jnp.sum(e))

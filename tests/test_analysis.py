@@ -1,0 +1,77 @@
+"""Beampattern / SDR / Welch PSD analysis tests
+(``reference/main_beampatterns_plotting`` family behavior)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mimo_ofdm_tpu.models.analysis import (beampattern_scan, bussgang_split,
+                                           sdr_at_point, welch_psd)
+from mimo_ofdm_tpu.utils.config import (ArrayConfig, LinkConfig, ModemConfig,
+                                        PaConfig)
+
+
+def small_cfg(n_ant=16, ibo=0.0):
+    return LinkConfig(
+        modem=ModemConfig(constel_size=64, n_fft=256, n_sub_carr=128, cp_len=16),
+        array=ArrayConfig(n_elements=n_ant),
+        pa=PaConfig(model="softlim", ibo_db=ibo),
+    )
+
+
+def test_welch_matches_scipy():
+    from scipy.signal import welch as sp_welch
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=2048) + 1j * rng.normal(size=2048)
+    f1, p1 = welch_psd(jnp.asarray(x), nfft=128, nperseg=64)
+    f2, p2 = sp_welch(x, fs=128, nfft=128, nperseg=64, return_onesided=False)
+    np.testing.assert_allclose(np.asarray(f1), f2)
+    np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-10)
+
+
+def test_bussgang_split_linear_part_vanishes():
+    """For a clipped Gaussian, distortion (y - alpha x) must be orthogonal
+    to x (Bussgang theorem)."""
+    from mimo_ofdm_tpu.ops import pa
+    from mimo_ofdm_tpu.ops.noise import complex_normal
+    key = jax.random.key(1)
+    x = complex_normal(key, (4, 1 << 15), jnp.complex128)
+    ibo = 0.0
+    y = pa.soft_limiter(x, pa.ibo_to_sat_power(ibo, 1.0))
+    alpha = pa.bussgang_alpha(ibo)
+    ak = jnp.full((4,), alpha)
+    desired, dist = bussgang_split(y, x, ak)
+    corr = jnp.mean(dist * jnp.conj(x), axis=-1)
+    np.testing.assert_allclose(np.abs(np.asarray(corr)), 0.0, atol=5e-3)
+
+
+def test_beampattern_peak_at_precoded_angle():
+    cfg = small_cfg()
+    res = beampattern_scan(cfg, jax.random.key(0), precoding_angle_deg=45,
+                           n_points=36, n_snapshots=4, point_chunk=8)
+    ang = np.degrees(res.angles_rad)
+    peak = ang[int(np.argmax(np.asarray(res.desired_pow)))]
+    assert peak == pytest.approx(-45.0, abs=5.0)
+
+
+def test_mrt_distortion_beamforms_with_signal():
+    """Single-user MRT on LOS: distortion beamforms with the desired
+    signal, so SDR is nearly flat across angles — the headline result of
+    the beampattern study."""
+    cfg = small_cfg()
+    res = beampattern_scan(cfg, jax.random.key(0), precoding_angle_deg=45,
+                           n_points=36, n_snapshots=4, point_chunk=8)
+    sdr = np.asarray(res.sdr_db)
+    assert sdr.max() - sdr.min() < 1.0
+
+
+def test_sdr_increases_with_ibo():
+    """More backoff -> less clipping -> higher SDR (the SDR-vs-IBO sweep
+    of ``main_sdr_vs_ibo_vs_channel.py``)."""
+    sdrs = []
+    for ibo in (0.0, 3.0, 6.0):
+        cfg = small_cfg(ibo=ibo)
+        sdrs.append(float(sdr_at_point(cfg, jax.random.key(2),
+                                       (150.0, 150.0, 1.5), n_snapshots=4)))
+    assert sdrs[0] < sdrs[1] < sdrs[2]
