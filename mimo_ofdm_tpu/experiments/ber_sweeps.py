@@ -1,0 +1,268 @@
+"""BER sweep experiments: vs Eb/N0, vs IBO, vs antenna count, and the
+fixed-BER required-Eb/N0 search."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mimo_ofdm_tpu.experiments import register
+from mimo_ofdm_tpu.models.link import make_round_fn
+from mimo_ofdm_tpu.models.link_mu import make_mu_round_fn
+from mimo_ofdm_tpu.ops.metrics import ebn0_to_snr
+from mimo_ofdm_tpu.parallel.montecarlo import (SweepResult, run_ber_sweep,
+                                               run_point)
+from mimo_ofdm_tpu.utils import results
+from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig, LinkConfig,
+                                        ModemConfig, PaConfig, RxConfig,
+                                        SweepConfig, canonical_miso_cnc)
+
+
+def _save(res: SweepResult, cfg: LinkConfig, kind: str, n_iters: int,
+          save_csv: bool, param_name: str = "ebn0"):
+    if not save_csv:
+        return None
+    fname = results.ber_sweep_filename(
+        kind, cfg.rx.algorithm, cfg.channel.model, cfg.array.n_elements,
+        cfg.pa.ibo_db, res.param_values, list(range(1, n_iters + 1)))
+    return results.save_ber_sweep(res.param_values, res.ber_matrix, fname)
+
+
+@register("miso_ber_vs_ebn0")
+def miso_ber_vs_ebn0(channels=("los",), algorithm="cnc", n_ant=64,
+                     ibo_db=0.0, n_iters=8, ebn0_min=5.0, ebn0_max=20.0,
+                     ebn0_step=0.5, n_err_min=100_000, bits_sent_max=10_000_000,
+                     batch=32, seed=0, save_csv=True, verbose=True,
+                     small=False):
+    """Canonical BER vs Eb/N0 per channel per CNC/MCNC iteration count
+    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ebn0.py``)."""
+    cfg0, _ = canonical_miso_cnc()
+    if small:
+        cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
+                                              n_sub_carr=128, cp_len=16))
+    out = {}
+    for chan in channels:
+        cfg = cfg0.replace(
+            array=ArrayConfig(n_elements=n_ant, cord_z=cfg0.array.cord_z),
+            channel=ChannelConfig(model=chan),
+            pa=PaConfig(model=cfg0.pa.model, ibo_db=ibo_db),
+            rx=RxConfig(algorithm=algorithm))
+        sweep = SweepConfig(ebn0_min=ebn0_min, ebn0_max=ebn0_max,
+                            ebn0_step=ebn0_step, n_err_min=n_err_min,
+                            bits_sent_max=bits_sent_max, batch_frames=batch)
+        res = run_ber_sweep(cfg, sweep, n_iters, seed=seed, verbose=verbose)
+        _save(res, cfg, "ber_vs_ebn0", n_iters, save_csv)
+        out[chan] = res
+    return out
+
+
+@register("awgn_ber_vs_ebn0")
+def awgn_ber_vs_ebn0(n_iters=8, ebn0_min=0.0, ebn0_max=20.0, ebn0_step=2.0,
+                     ibo_db=0.0, n_err_min=1000, bits_sent_max=1_000_000,
+                     batch=16, seed=0, save_csv=True, verbose=True,
+                     small=False):
+    """SISO AWGN CNC sanity sweep
+    (``reference/main_clipping_noise_cancellation/main_awgn_cnc.py``)."""
+    modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
+                        n_sub_carr=128 if small else 2048,
+                        cp_len=16 if small else 128)
+    cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=1),
+                     channel=ChannelConfig(model="awgn"), precoding="none",
+                     pa=PaConfig(model="softlim", ibo_db=ibo_db),
+                     rx=RxConfig(algorithm="cnc"))
+    sweep = SweepConfig(ebn0_min=ebn0_min, ebn0_max=ebn0_max,
+                        ebn0_step=ebn0_step, n_err_min=n_err_min,
+                        bits_sent_max=bits_sent_max, batch_frames=batch)
+    res = run_ber_sweep(cfg, sweep, n_iters, seed=seed, verbose=verbose)
+    _save(res, cfg, "ber_vs_ebn0_awgn", n_iters, save_csv)
+    return res
+
+
+@register("miso_ber_vs_ibo")
+def miso_ber_vs_ibo(channel="los", algorithm="cnc", n_ant=64, ebn0_db=15.0,
+                    ibo_values=(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0),
+                    n_iters=8, n_err_min=100_000, bits_sent_max=10_000_000,
+                    batch=32, seed=0, save_csv=True, verbose=True,
+                    small=False):
+    """BER vs IBO at fixed Eb/N0 per iteration count
+    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ibo.py``)."""
+    cfg0, _ = canonical_miso_cnc()
+    if small:
+        cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
+                                              n_sub_carr=128, cp_len=16))
+    ibo_values = np.asarray(ibo_values, np.float64)
+    res = SweepResult(param_values=ibo_values)
+    cfg = None
+    for i, ibo in enumerate(ibo_values):
+        cfg = cfg0.replace(array=ArrayConfig(n_elements=n_ant,
+                                             cord_z=cfg0.array.cord_z),
+                           channel=ChannelConfig(model=channel),
+                           pa=PaConfig(model=cfg0.pa.model, ibo_db=float(ibo)),
+                           rx=RxConfig(algorithm=algorithm))
+        snr = ebn0_to_snr(ebn0_db, cfg.modem.n_fft, cfg.modem.n_sub_carr,
+                          cfg.modem.constel_size)
+        round_fn = make_round_fn(cfg, n_iters, batch)
+        import jax
+        pt = run_point(round_fn, jax.random.fold_in(jax.random.key(seed), i),
+                       float(snr), n_counters=n_iters + 2,
+                       n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+                       batch=batch, n_err_min=n_err_min,
+                       bits_sent_max=bits_sent_max)
+        res.points.append(pt)
+        if verbose:
+            print(f"IBO={ibo:4.1f} dB  BER={np.array2string(pt.ber, precision=3)}")
+    if save_csv and cfg is not None:
+        fname = results.ber_sweep_filename(
+            "ber_vs_ibo", algorithm, channel, n_ant, 0.0, ibo_values,
+            list(range(1, n_iters + 1)))
+        results.save_ber_sweep(ibo_values, res.ber_matrix, fname)
+    return res
+
+
+@register("miso_ber_vs_nant")
+def miso_ber_vs_nant(channels=("los", "rayleigh"), algorithm="cnc",
+                     n_ant_values=(16, 32, 64), ebn0_db=15.0, ibo_db=0.0,
+                     n_iters=8, n_err_min=100_000, bits_sent_max=10_000_000,
+                     batch=32, seed=0, save_csv=True, verbose=True,
+                     small=False):
+    """BER vs number of antennas per channel
+    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_nant_vs_chan.py``)."""
+    cfg0, _ = canonical_miso_cnc()
+    if small:
+        cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
+                                              n_sub_carr=128, cp_len=16))
+    import jax
+    out = {}
+    for chan in channels:
+        res = SweepResult(param_values=np.asarray(n_ant_values, np.float64))
+        for i, n_ant in enumerate(n_ant_values):
+            cfg = cfg0.replace(array=ArrayConfig(n_elements=int(n_ant),
+                                                 cord_z=cfg0.array.cord_z),
+                               channel=ChannelConfig(model=chan),
+                               pa=PaConfig(model=cfg0.pa.model, ibo_db=ibo_db),
+                               rx=RxConfig(algorithm=algorithm))
+            snr = ebn0_to_snr(ebn0_db, cfg.modem.n_fft, cfg.modem.n_sub_carr,
+                              cfg.modem.constel_size)
+            round_fn = make_round_fn(cfg, n_iters, batch)
+            pt = run_point(round_fn,
+                           jax.random.fold_in(jax.random.key(seed), i),
+                           float(snr), n_counters=n_iters + 2,
+                           n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+                           batch=batch, n_err_min=n_err_min,
+                           bits_sent_max=bits_sent_max)
+            res.points.append(pt)
+            if verbose:
+                print(f"{chan} n_ant={n_ant}  "
+                      f"BER={np.array2string(pt.ber, precision=3)}")
+        out[chan] = res
+        if save_csv:
+            fname = results.ber_sweep_filename(
+                "ber_vs_nant", algorithm, chan, 0, ibo_db,
+                np.asarray(n_ant_values, float), list(range(1, n_iters + 1)))
+            results.save_ber_sweep(res.param_values, res.ber_matrix, fname)
+    return out
+
+
+@register("req_ebn0_vs_ibo")
+def req_ebn0_vs_ibo(channel="los", algorithm="cnc", n_ant=64,
+                    target_ber=1e-2, ibo_values=(0.0, 2.0, 4.0, 6.0),
+                    n_iters=8, ebn0_lo=5.0, ebn0_hi=25.0, tol_db=0.25,
+                    n_err_min=10_000, bits_sent_max=5_000_000, batch=32,
+                    seed=0, save_csv=True, verbose=True, small=False):
+    """Required Eb/N0 for a fixed BER vs IBO, via bisection per iteration
+    tap (``reference/main_clipping_noise_cancellation/
+    main_miso_cnc_constant_ber_req_ebn0_vs_ibo.py``)."""
+    import jax
+    cfg0, _ = canonical_miso_cnc()
+    if small:
+        cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
+                                              n_sub_carr=128, cp_len=16))
+
+    def ber_at(cfg, round_fn, ebn0, i):
+        snr = ebn0_to_snr(ebn0, cfg.modem.n_fft, cfg.modem.n_sub_carr,
+                          cfg.modem.constel_size)
+        pt = run_point(round_fn, jax.random.fold_in(jax.random.key(seed), i),
+                       float(snr), n_counters=n_iters + 2,
+                       n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+                       batch=batch, n_err_min=n_err_min,
+                       bits_sent_max=bits_sent_max)
+        return pt.ber
+
+    req = np.full((n_iters + 2, len(ibo_values)), np.nan)
+    for j, ibo in enumerate(ibo_values):
+        cfg = cfg0.replace(array=ArrayConfig(n_elements=n_ant,
+                                             cord_z=cfg0.array.cord_z),
+                           channel=ChannelConfig(model=channel),
+                           pa=PaConfig(model=cfg0.pa.model, ibo_db=float(ibo)),
+                           rx=RxConfig(algorithm=algorithm))
+        round_fn = make_round_fn(cfg, n_iters, batch)
+        for c in range(n_iters + 2):
+            lo, hi = ebn0_lo, ebn0_hi
+            if ber_at(cfg, round_fn, hi, 1000 + j)[c] > target_ber:
+                continue  # unreachable within range
+            while hi - lo > tol_db:
+                mid = 0.5 * (lo + hi)
+                if ber_at(cfg, round_fn, mid, j)[c] > target_ber:
+                    lo = mid
+                else:
+                    hi = mid
+            req[c, j] = 0.5 * (lo + hi)
+        if verbose:
+            print(f"IBO={ibo:4.1f}  req Eb/N0="
+                  f"{np.array2string(req[:, j], precision=2)}")
+    if save_csv:
+        fname = results.ber_sweep_filename(
+            "req_ebn0_vs_ibo", algorithm, channel, n_ant, 0.0,
+            np.asarray(ibo_values, float), list(range(1, n_iters + 1)))
+        results.save_ber_sweep(np.asarray(ibo_values, float), req, fname)
+    return np.asarray(ibo_values, float), req
+
+
+@register("multiuser_ber")
+def multiuser_ber(precoding="mrt", algorithm="cnc", n_ant=64, ibo_db=0.0,
+                  n_iters=8, ebn0_min=5.0, ebn0_max=20.0, ebn0_step=2.0,
+                  n_err_min=100_000, bits_sent_max=10_000_000, batch=16,
+                  seed=0, save_csv=True, verbose=True, small=False):
+    """Per-user BER vs Eb/N0 for the canonical 2-user geometry
+    (``reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py``).
+    ``algorithm``: cnc | cnc_mu (CNCWI) | mcnc_mu (MCNCWI)."""
+    import jax
+    modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
+                        n_sub_carr=128 if small else 2048,
+                        cp_len=16 if small else 128, n_users=2)
+    cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=n_ant),
+                     channel=ChannelConfig(model="los"), precoding=precoding,
+                     pa=PaConfig(model="softlim", ibo_db=ibo_db),
+                     rx=RxConfig(algorithm=algorithm))
+    ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
+    snrs = ebn0_to_snr(ebn0, modem.n_fft, modem.n_sub_carr, modem.constel_size)
+    round_fn = make_mu_round_fn(cfg, n_iters, batch)
+    n_bits_frame = modem.n_bits_per_ofdm_sym
+
+    n_usr = 2
+    ber = np.zeros((n_usr, n_iters + 2, len(ebn0)))
+    for i, snr in enumerate(snrs):
+        n_err = np.zeros((n_usr, n_iters + 2), np.int64)
+        n_bits = np.zeros((n_usr, n_iters + 2), np.int64)
+        rounds = 0
+        key = jax.random.fold_in(jax.random.key(seed), i)
+        while True:
+            active = (n_err < n_err_min) & (n_bits < bits_sent_max)
+            if not active.any():
+                break
+            c = round_fn(jax.random.fold_in(key, rounds), float(snr))
+            errs = np.concatenate([np.asarray(c.clean_err)[:, None],
+                                   np.asarray(c.dist_err)], axis=1)
+            n_err += np.where(active, errs, 0)
+            n_bits += np.where(active, batch * n_bits_frame, 0)
+            rounds += 1
+        ber[:, :, i] = n_err / np.maximum(n_bits, 1)
+        if verbose:
+            print(f"Eb/N0={ebn0[i]:5.1f}  usr0 BER="
+                  f"{np.array2string(ber[0, :, i], precision=3)}")
+    if save_csv:
+        for u in range(n_usr):
+            fname = results.ber_sweep_filename(
+                f"mu_ber_vs_ebn0_usr{u}_{precoding}", algorithm, "los", n_ant,
+                ibo_db, ebn0, list(range(1, n_iters + 1)))
+            results.save_ber_sweep(ebn0, ber[u], fname)
+    return ebn0, ber

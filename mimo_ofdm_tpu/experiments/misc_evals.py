@@ -1,0 +1,120 @@
+"""Diagnostic evaluations: alpha validation, complexity tables, PA transfer
+characteristics, channel transfer functions."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mimo_ofdm_tpu.experiments import register
+
+
+@register("alpha_eval")
+def alpha_eval(n_ant=64, ibo_db=0.0, n_snapshots=64, seed=0, verbose=True,
+               small=False):
+    """Empirical per-antenna Bussgang alpha (E[y x*]/E[x x*] over the TX
+    time-domain signals) vs the analytic closed form — the reference's own
+    validation study
+    (``reference/main_misc_evals/main_alpha_dist_coefficient_eval.py:28-80``)."""
+    import jax
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.models import channels, precoding, transmit
+    from mimo_ofdm_tpu.models.link import link_static
+    from mimo_ofdm_tpu.ops import ofdm
+    from mimo_ofdm_tpu.utils.config import (ArrayConfig, LinkConfig,
+                                            ModemConfig, PaConfig)
+
+    modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
+                        n_sub_carr=128 if small else 2048,
+                        cp_len=16 if small else 128)
+    cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=n_ant),
+                     pa=PaConfig(model="softlim", ibo_db=ibo_db))
+    m, n_fft, n_sc = modem.constel_size, modem.n_fft, modem.n_sub_carr
+
+    tx_pos, freqs, rx_base = link_static(cfg)
+    h = channels.los_channel(tx_pos, rx_base, freqs)
+    h_sc = ofdm.extract_subcarriers(h, n_sc)
+    v = precoding.mrt_precoder(h_sc)
+    sat = precoding.pa_sat_power(ibo_db, modem.avg_sample_power, v)
+    ak_analytic = np.asarray(precoding.per_antenna_alpha(
+        ibo_db, precoding.precoding_power_per_antenna(v), n_sc, n_ant))
+
+    def snap(k):
+        bits = jax.random.bernoulli(
+            k, 0.5, (modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+        sym = transmit.modulate_users(bits, m)
+        per_ant = transmit.precode_symbols(sym, v)
+        td = ofdm.fd_to_td(ofdm.map_subcarriers(per_ant, n_fft))
+        td_clip = transmit.pa_transfer(td, cfg.pa.model, sat)
+        num = jnp.mean(td_clip * jnp.conj(td), axis=-1)
+        den = jnp.mean(jnp.abs(td) ** 2, axis=-1)
+        return num / den
+
+    a = jax.vmap(snap)(jax.random.split(jax.random.key(seed), n_snapshots))
+    ak_emp = np.asarray(jnp.abs(jnp.mean(a, axis=0)))
+    if verbose:
+        print("alpha analytic (first 4):", ak_analytic[:4])
+        print("alpha empirical (first 4):", ak_emp[:4])
+        print("max |diff|:", np.max(np.abs(ak_emp - ak_analytic)))
+    return ak_analytic, ak_emp
+
+
+@register("complexity_eval")
+def complexity_eval(m=64, n_u=2048, n=4096, k=64, iters=tuple(range(9)),
+                    verbose=True):
+    """Closed-form op-count tables for std/CNC/MCNC receivers
+    (``reference/main_misc_evals/comp_complexity_eval.py``)."""
+    from mimo_ofdm_tpu.models.complexity import cnc_ops, mcnc_ops, std_rx_ops
+    std_add, std_mul = std_rx_ops(m, n_u, n)
+    cnc_add, cnc_mul = cnc_ops(iters, m, n_u, n)
+    mcnc_add, mcnc_mul = mcnc_ops(iters, m, n_u, n, k)
+    if verbose:
+        print(f"std: add/sc={std_add / n_u:.1f} mul/sc={std_mul / n_u:.1f}")
+        for i, it in enumerate(iters):
+            print(f"I={it}: cnc add/sc={cnc_add[i] / n_u:8.1f} "
+                  f"mul/sc={cnc_mul[i] / n_u:8.1f}   "
+                  f"mcnc add/sc={mcnc_add[i] / n_u:10.1f} "
+                  f"mul/sc={mcnc_mul[i] / n_u:10.1f}")
+    return {"std": (std_add, std_mul), "cnc": (cnc_add, cnc_mul),
+            "mcnc": (mcnc_add, mcnc_mul)}
+
+
+@register("pa_characteristics")
+def pa_characteristics(model="softlim", ibo_db=0.0, avg_samp_pow=1.0,
+                       ampl_max=4.0, n_points=200, verbose=True):
+    """PA transfer characteristic samples
+    (``reference/distortion.py:63-89,167-189,253-279``)."""
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.ops import pa
+    x = np.linspace(0.0, ampl_max, n_points)
+    if model == "toi":
+        coeff = pa.toi_to_cubic_coeff(ibo_db, avg_samp_pow)
+        y = np.asarray(pa.third_order(jnp.asarray(x + 0j), coeff))
+    else:
+        sat = pa.ibo_to_sat_power(ibo_db, avg_samp_pow)
+        y = np.asarray(pa.apply_pa(jnp.asarray(x + 0j), model, sat))
+    if verbose:
+        print(f"{model} @ IBO {ibo_db} dB: out amp at max in = {abs(y[-1]):.3f}")
+    return x, np.abs(y)
+
+
+@register("channel_tf")
+def channel_tf(channel="two_path", n_ant=4, small=True, verbose=True, seed=0):
+    """Channel transfer-function magnitude inspection
+    (``reference/main_misc_evals/channel_tf_test.py``,
+    ``random_paths_channel_tf_test.py``)."""
+    import jax
+    from mimo_ofdm_tpu.models.link import link_static, make_channel_fn
+    from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig,
+                                            LinkConfig, ModemConfig)
+    modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
+                        n_sub_carr=128 if small else 2048, cp_len=16)
+    cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=n_ant),
+                     channel=ChannelConfig(model=channel))
+    _, freqs, rx_base = link_static(cfg)
+    tx_pos = link_static(cfg)[0]
+    chan_fn = make_channel_fn(cfg, freqs, rx_base, reroll=False)
+    h = np.asarray(chan_fn(jax.random.key(seed), tx_pos))
+    if verbose:
+        print(f"{channel}: |H| mean={np.abs(h).mean():.3e} "
+              f"min={np.abs(h).min():.3e} max={np.abs(h).max():.3e}")
+    return h
