@@ -25,7 +25,7 @@ def main():
     from mimo_ofdm_tpu.models.link import make_round_fn
 
     n_iters = 8
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     cfg, _ = canonical_miso_cnc()
     cfg = cfg.replace(channel=ChannelConfig(model="rayleigh"))
 

@@ -39,6 +39,22 @@ class AgcState(NamedTuple):
     ak_vect: Array               # [n_ant] per-antenna Bussgang gains
 
 
+class AgcStateSc(NamedTuple):
+    """Subcarrier-domain AGC state — the performance path.
+
+    The receive chain only ever observes the data subcarriers (the
+    reference's CNC/standard receivers immediately strip out-of-band bins,
+    ``reference/corrector.py:66``), so the equalizers need not be embedded
+    into the n_fft grid at all; the unused bins' divide-by-one
+    (``reference/mp_model.py:307``) is an identity on discarded values.
+    """
+    hk_vk_agc_sc: Array          # [n_sc] clean-signal equalizer
+    hk_vk_noise_scaler: Array    # scalar
+    ak_hk_vk_agc_sc: Array       # [n_sc] distorted-signal equalizer
+    ak_hk_vk_noise_scaler: Array  # scalar
+    ak_vect: Array               # [n_ant] per-antenna Bussgang gains
+
+
 def compute_agc(h_sc: Array, v: Array, ibo_db: float, n_ant: int, n_fft: int,
                 usr_idx: int | None = None,
                 ant_axis_name: str | None = None) -> AgcState:
@@ -89,3 +105,36 @@ def _embed_ones(vec_sc: Array, n_fft: int) -> Array:
     """Embed an n_sc vector into the n_fft grid with ones elsewhere
     (``reference/mp_model.py:307-309``)."""
     return map_subcarriers(vec_sc, n_fft, fill_value=1.0)
+
+
+def compute_agc_sc(h_sc: Array, v: Array, ibo_db: float, n_ant: int,
+                   usr_idx: int | None = None,
+                   ant_axis_name: str | None = None) -> AgcStateSc:
+    """Subcarrier-domain variant of :func:`compute_agc` (no n_fft embed);
+    numerically identical on the observed data bins."""
+    n_sc = h_sc.shape[-1]
+    if v.ndim == 3:
+        if usr_idx is None:
+            raise ValueError("usr_idx required for multi-user precoder")
+        v_usr = v[:, usr_idx, :]
+    else:
+        v_usr = v
+
+    def ant_sum(x):
+        s = jnp.sum(x, axis=0)
+        if ant_axis_name is not None:
+            s = jax.lax.psum(s, ant_axis_name)
+        return s
+
+    vk_pow_vec = precoding_power_per_antenna(v)
+    hk_vk = h_sc * v_usr
+    hk_vk_avg = ant_sum(hk_vk)
+    ak_vect = per_antenna_alpha(ibo_db, vk_pow_vec, n_sc, n_ant)
+    ak_hk_vk_avg = ant_sum(ak_vect[:, None].astype(hk_vk.dtype) * hk_vk)
+    return AgcStateSc(
+        hk_vk_agc_sc=hk_vk_avg,
+        hk_vk_noise_scaler=jnp.mean(jnp.abs(hk_vk_avg) ** 2),
+        ak_hk_vk_agc_sc=ak_hk_vk_avg,
+        ak_hk_vk_noise_scaler=jnp.mean(jnp.abs(ak_hk_vk_avg) ** 2),
+        ak_vect=ak_vect,
+    )

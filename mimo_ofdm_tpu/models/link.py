@@ -131,7 +131,13 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
     pa_model = cfg.pa.model
 
     _, freqs, rx_base = link_static(cfg, dtype)
-    channel_fn = make_channel_fn(cfg, freqs, rx_base, reroll, dtype,
+    # Everything downstream of the TX FFT only observes the data
+    # subcarriers (the receivers strip out-of-band bins immediately,
+    # reference/corrector.py:66, reference/mp_model.py:299), so the
+    # channel, noise and AGC are generated/applied on the n_sc grid only —
+    # identical observable statistics at half the bandwidth-bound work.
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    channel_fn = make_channel_fn(cfg, freqs_sc, rx_base, reroll, dtype,
                                  ant_axis_name)
     if cfg.modem.n_users == 1 and cfg.precoding == "mrt":
         def precoder(h_sc):
@@ -146,32 +152,37 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         k_chan, k_csi, k_bits_c, k_bits_d, k_noise_c, k_noise_d = \
             jax.random.split(key, 6)
 
-        h_fd = channel_fn(k_chan, tx_pos)               # [n_ant, n_fft] true channel
+        h_sc = channel_fn(k_chan, tx_pos)               # [n_ant, n_sc] true channel
         if cfg.csi_epsilon:
             if ant_axis_name is not None:
                 k_csi = jax.random.fold_in(k_csi,
                                            jax.lax.axis_index(ant_axis_name))
-            h_pre_fd = channels.csi_error_channel(k_csi, h_fd, n_sc, cfg.csi_epsilon)
+            # CSI error on the data bins (reference/mp_model.py:264-284)
+            p = jnp.mean(jnp.abs(h_sc) ** 2, axis=-1, keepdims=True)
+            csi_noise = noise_ops.complex_normal(k_csi, h_sc.shape, dtype)
+            h_pre_sc = (jnp.sqrt(1.0 - cfg.csi_epsilon ** 2) * h_sc
+                        + csi_noise * jnp.sqrt(p).astype(dtype) * cfg.csi_epsilon)
         else:
-            h_pre_fd = h_fd
-        h_pre_sc = ofdm.extract_subcarriers(h_pre_fd, n_sc)
+            h_pre_sc = h_sc
 
         v = precoder(h_pre_sc)                          # [n_ant, n_sc]
         sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v,
                                          ant_axis_name, n_ant)
-        agc = agc_mod.compute_agc(h_pre_sc, v, ibo_db, n_ant, n_fft,
-                                  ant_axis_name=ant_axis_name)
+        agc = agc_mod.compute_agc_sc(h_pre_sc, v, ibo_db, n_ant,
+                                     ant_axis_name=ant_axis_name)
 
         # --- clean run (reference/mp_model.py:136-175) ---
         if incl_clean:
             bits_c = jax.random.bernoulli(k_bits_c, 0.5, (n_bits,)).astype(jnp.int8)
-            fd_clean = transmit.array_transmit_fd(
-                bits_c, constel_size=m, n_fft=n_fft, v=v, skip_dist=True, dtype=dtype)
-            rx_c = channels.propagate(h_fd, fd_clean, ant_axis_name=ant_axis_name)
+            # without PA distortion the TX (I)FFT round trip is an
+            # identity, so the precoded symbols propagate directly
+            sym_c = transmit.modulate_users(bits_c, m, dtype)
+            tx_sc = transmit.precode_symbols(sym_c, v)
+            rx_c = channels.propagate(h_sc, tx_sc, ant_axis_name=ant_axis_name)
             rx_c = noise_ops.awgn(k_noise_c, rx_c, snr_db,
                                   avg_sym_pow * agc.hk_vk_noise_scaler)
-            rx_c = receivers.equalize(rx_c, agc.hk_vk_agc_nfft)
-            rx_bits_c = receivers.standard_receive(rx_c, n_sc, m)
+            rx_c = rx_c / agc.hk_vk_agc_sc
+            rx_bits_c = receivers.standard_receive_sc(rx_c, m)
             clean_err = bits_ops.count_bit_errors(bits_c, rx_bits_c)
         else:
             clean_err = jnp.zeros((), jnp.int32)
@@ -181,26 +192,26 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         fd_dist = transmit.array_transmit_fd(
             bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
             sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
-        rx_d = channels.propagate(h_fd, fd_dist, ant_axis_name=ant_axis_name)
+        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+        rx_d = channels.propagate(h_sc, fd_dist_sc, ant_axis_name=ant_axis_name)
         rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
                               avg_sym_pow * agc.ak_hk_vk_noise_scaler)
-        rx_d = receivers.equalize(rx_d, agc.ak_hk_vk_agc_nfft)
+        rx_sc = rx_d / agc.ak_hk_vk_agc_sc
 
         if cfg.rx.algorithm == "cnc":
-            bits_all = receivers.cnc_receive(rx_d, n_iters, constel_size=m,
-                                             n_sc=n_sc, ibo_db=ibo_db,
-                                             pa_model=pa_model)
+            replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
+                                                 pa_model)
+            bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
         elif cfg.rx.algorithm == "mcnc":
             # MCNC replica uses the *precoding* channel (noisy under CSI
             # error, reference/mp_model.py:115-119) and the ak AGC vector.
-            rx_sc = ofdm.extract_subcarriers(rx_d, n_sc)
             replica = receivers.make_mcnc_replica(
-                h_pre_fd, v, agc.ak_hk_vk_agc_nfft, constel_size=m,
+                h_pre_sc, v, agc.ak_hk_vk_agc_sc, constel_size=m,
                 n_fft=n_fft, n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
                 rapp_p=cfg.pa.rapp_p_hardness, ant_axis_name=ant_axis_name)
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
         elif cfg.rx.algorithm == "none":
-            one = receivers.standard_receive(rx_d, n_sc, m)
+            one = receivers.standard_receive_sc(rx_sc, m)
             bits_all = jnp.broadcast_to(one, (n_iters + 1, n_bits))
         else:
             raise ValueError(f"unsupported rx algorithm {cfg.rx.algorithm!r}")

@@ -67,13 +67,14 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
     algorithm = cfg.rx.algorithm
 
     _, freqs, _ = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
     precoder = precoding.make_precoder(cfg.precoding, n_users=n_usr)
 
-    # one channel generator per user position (rebasing rx_base per user)
+    # one channel generator per user position (rebasing rx_base per user);
+    # generated on the data-subcarrier grid only (see models/link.py)
     user_channel_fns = []
     for u in range(n_usr):
-        cfg_u = cfg.replace(rx=cfg.rx)  # geometry comes via rx_base below
-        chan_fn = make_channel_fn(cfg_u, freqs,
+        chan_fn = make_channel_fn(cfg, freqs_sc,
                                   jnp.asarray(user_positions[u], jnp.float32),
                                   reroll, dtype)
         user_channel_fns.append(chan_fn)
@@ -82,29 +83,28 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
         keys = jax.random.split(key, 4 + n_usr)
         k_bits_c, k_bits_d, k_noise_c, k_noise_d = keys[:4]
 
-        h_fd_usr = jnp.stack([user_channel_fns[u](keys[4 + u], tx_pos)
-                              for u in range(n_usr)])      # [n_usr, n_ant, n_fft]
-        h_sc_usr = ofdm.extract_subcarriers(h_fd_usr, n_sc)
+        h_sc_usr = jnp.stack([user_channel_fns[u](keys[4 + u], tx_pos)
+                              for u in range(n_usr)])      # [n_usr, n_ant, n_sc]
 
         v = precoder(h_sc_usr)                              # [n_ant, n_usr, n_sc]
         sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
-        agc_usr = [agc_mod.compute_agc(h_sc_usr[u], v, ibo_db, n_ant, n_fft,
-                                       usr_idx=u) for u in range(n_usr)]
+        agc_usr = [agc_mod.compute_agc_sc(h_sc_usr[u], v, ibo_db, n_ant,
+                                          usr_idx=u) for u in range(n_usr)]
 
         # --- clean run ---
         if incl_clean:
             bits_c = jax.random.bernoulli(k_bits_c, 0.5,
                                           (n_usr, n_bits)).astype(jnp.int8)
-            fd_clean = transmit.array_transmit_fd(
-                bits_c, constel_size=m, n_fft=n_fft, v=v, skip_dist=True,
-                dtype=dtype)
+            # clean TX (I)FFT round trip is the identity on the data bins
+            sym_c = qam.modulate_bits(bits_c, m, dtype)
+            tx_sc = transmit.precode_symbols(sym_c, v)       # [n_ant, n_sc]
             clean_errs = []
             for u in range(n_usr):
-                rx = channels.propagate(h_fd_usr[u], fd_clean)
+                rx = channels.propagate(h_sc_usr[u], tx_sc)
                 rx = noise_ops.awgn(jax.random.fold_in(k_noise_c, u), rx, snr_db,
                                     avg_sym_pow * agc_usr[u].hk_vk_noise_scaler)
-                rx = receivers.equalize(rx, agc_usr[u].hk_vk_agc_nfft)
-                rx_bits = receivers.standard_receive(rx, n_sc, m)
+                rx = rx / agc_usr[u].hk_vk_agc_sc
+                rx_bits = receivers.standard_receive_sc(rx, m)
                 clean_errs.append(bits_ops.count_bit_errors(bits_c[u], rx_bits))
             clean_err = jnp.stack(clean_errs)
         else:
@@ -117,14 +117,14 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
         fd_dist = transmit.array_transmit_fd(
             bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
             sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
 
         dist_errs = []
         for u in range(n_usr):
-            rx = channels.propagate(h_fd_usr[u], fd_dist)
+            rx = channels.propagate(h_sc_usr[u], fd_dist_sc)
             rx = noise_ops.awgn(jax.random.fold_in(k_noise_d, u), rx, snr_db,
                                 avg_sym_pow * agc_usr[u].ak_hk_vk_noise_scaler)
-            rx = receivers.equalize(rx, agc_usr[u].ak_hk_vk_agc_nfft)
-            rx_sc = ofdm.extract_subcarriers(rx, n_sc)
+            rx_sc = rx / agc_usr[u].ak_hk_vk_agc_sc
 
             other = tx_sym[1 - u] if n_usr == 2 else None
             if algorithm == "cnc":
@@ -136,7 +136,7 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
                     ibo_db=ibo_db, pa_model=pa_model)
             elif algorithm == "mcnc_mu":
                 replica = receivers.make_mcnc_mu_replica(
-                    other, u, h_fd_usr[u], v, agc_usr[u].ak_hk_vk_agc_nfft,
+                    other, u, h_sc_usr[u], v, agc_usr[u].ak_hk_vk_agc_sc,
                     constel_size=m, n_fft=n_fft, n_sc=n_sc, pa_model=pa_model,
                     sat_power=sat_pow)
             else:

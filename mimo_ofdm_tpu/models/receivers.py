@@ -47,6 +47,12 @@ def standard_receive(rx_fd: Array, n_sc: int, constel_size: int,
     return qam.demodulate_bits(sc, constel_size, alpha)
 
 
+def standard_receive_sc(rx_sc: Array, constel_size: int,
+                        alpha: Array | float = 1.0) -> Array:
+    """Subcarrier-domain standard receive (data bins already extracted)."""
+    return qam.demodulate_bits(rx_sc, constel_size, alpha)
+
+
 def cnc_iterate(rx_sc: Array, n_iters: int, constel_size: int,
                 replica_fn: Callable[[Array], Array],
                 detect_alpha: Array | float = 1.0) -> tuple[Array, Array]:
@@ -103,25 +109,31 @@ def make_cnc_replica(constel_size: int, n_fft: int, n_sc: int, ibo_db: float,
     return replica
 
 
-def make_mcnc_replica(h_fd: Array, v: Array, agc_corr_nfft: Array, *,
+def make_mcnc_replica(h_sc: Array, v: Array, agc_corr_sc: Array, *,
                       constel_size: int, n_fft: int, n_sc: int,
                       pa_model: str = "softlim", sat_power: Array | float,
                       rapp_p: float = 1.1, toi_coeff: Array | float = 0.0,
                       ant_axis_name: str | None = None):
     """Replica of the full TX array + channel + AGC
     (``reference/corrector.py:198-205``): detected symbols are re-precoded,
-    re-clipped per antenna, propagated through ``h_fd`` and divided by the
-    ``sum_k a_k H_k V_k`` AGC vector. Skips the reference's redundant
-    symbols->bits->symbols round trip (``reference/corrector.py:191-198``)."""
+    re-clipped per antenna, propagated through the channel and divided by
+    the ``sum_k a_k H_k V_k`` AGC vector.
+
+    Works in the subcarrier domain: the reference propagates the full-band
+    frame and immediately strips out-of-band bins
+    (``reference/corrector.py:199-203``), so multiplying the extracted
+    data bins by ``h_sc`` is identical and halves the propagate work. The
+    redundant symbols->bits->symbols round trip
+    (``reference/corrector.py:191-198``) is also skipped.
+    ``h_sc``: ``[n_ant, n_sc]``; ``agc_corr_sc``: ``[n_sc]``."""
     def replica(det_sym: Array) -> Array:
         per_ant_sc = transmit.precode_symbols(det_sym, v)
         fd_clean = ofdm.map_subcarriers(per_ant_sc, n_fft)
         td = ofdm.fd_to_td(fd_clean)
         td_dist = transmit.pa_transfer(td, pa_model, sat_power, rapp_p, toi_coeff)
-        fd_dist = ofdm.td_to_fd(td_dist)
-        rx = channels.propagate(h_fd, fd_dist, ant_axis_name=ant_axis_name)
-        rx = rx / agc_corr_nfft
-        return ofdm.extract_subcarriers(rx, n_sc)
+        fd_dist_sc = ofdm.extract_subcarriers(ofdm.td_to_fd(td_dist), n_sc)
+        rx = channels.propagate(h_sc, fd_dist_sc, ant_axis_name=ant_axis_name)
+        return rx / agc_corr_sc
 
     return replica
 
@@ -144,14 +156,15 @@ def make_cnc_mu_replica(other_usr_symbols: Array, *, constel_size: int,
     return replica
 
 
-def make_mcnc_mu_replica(other_usr_symbols: Array, usr_idx: int, h_fd: Array,
-                         v: Array, agc_corr_nfft: Array, *, constel_size: int,
+def make_mcnc_mu_replica(other_usr_symbols: Array, usr_idx: int, h_sc: Array,
+                         v: Array, agc_corr_sc: Array, *, constel_size: int,
                          n_fft: int, n_sc: int, pa_model: str = "softlim",
                          sat_power: Array | float, rapp_p: float = 1.1):
     """Two-user MCNC replica (``McncMuReceiver.receive``,
     ``reference/corrector.py:405-451``): the replica transmit stacks the
     detected own-user symbols with the known other-user symbols in original
-    user order and runs the full MU precoded TX + channel + own-user AGC."""
+    user order and runs the full MU precoded TX + channel + own-user AGC.
+    Subcarrier-domain channel/AGC (see :func:`make_mcnc_replica`)."""
     def replica(det_sym: Array) -> Array:
         if usr_idx == 0:
             sym_mu = jnp.stack([det_sym, other_usr_symbols], axis=-2)
@@ -160,9 +173,8 @@ def make_mcnc_mu_replica(other_usr_symbols: Array, usr_idx: int, h_fd: Array,
         per_ant_sc = transmit.precode_symbols(sym_mu, v, sum_users=True)
         td = ofdm.fd_to_td(ofdm.map_subcarriers(per_ant_sc, n_fft))
         td_dist = transmit.pa_transfer(td, pa_model, sat_power, rapp_p)
-        fd_dist = ofdm.td_to_fd(td_dist)
-        rx = channels.propagate(h_fd, fd_dist) / agc_corr_nfft
-        return ofdm.extract_subcarriers(rx, n_sc)
+        fd_dist_sc = ofdm.extract_subcarriers(ofdm.td_to_fd(td_dist), n_sc)
+        return channels.propagate(h_sc, fd_dist_sc) / agc_corr_sc
 
     return replica
 
@@ -182,10 +194,13 @@ def cnc_receive(rx_fd: Array, n_iters: int, *, constel_size: int, n_sc: int,
 def mcnc_receive(rx_fd: Array, n_iters: int, h_fd: Array, v: Array,
                  agc_corr_nfft: Array, *, constel_size: int, n_sc: int,
                  pa_model: str = "softlim", sat_power: Array | float) -> Array:
-    """End-to-end MCNC receive (``reference/corrector.py:165-207``)."""
+    """End-to-end MCNC receive from a full-band frame
+    (``reference/corrector.py:165-207``)."""
     n_fft = rx_fd.shape[-1]
     rx_sc = ofdm.extract_subcarriers(rx_fd, n_sc)
-    replica = make_mcnc_replica(h_fd, v, agc_corr_nfft, constel_size=constel_size,
+    h_sc = ofdm.extract_subcarriers(h_fd, n_sc)
+    agc_sc = ofdm.extract_subcarriers(agc_corr_nfft, n_sc)
+    replica = make_mcnc_replica(h_sc, v, agc_sc, constel_size=constel_size,
                                 n_fft=n_fft, n_sc=n_sc, pa_model=pa_model,
                                 sat_power=sat_power)
     bits_all, _ = cnc_iterate(rx_sc, n_iters, constel_size, replica)
