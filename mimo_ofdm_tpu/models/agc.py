@@ -109,9 +109,15 @@ def _embed_ones(vec_sc: Array, n_fft: int) -> Array:
 
 def compute_agc_sc(h_sc: Array, v: Array, ibo_db: float, n_ant: int,
                    usr_idx: int | None = None,
-                   ant_axis_name: str | None = None) -> AgcStateSc:
+                   ant_axis_name: str | None = None,
+                   alpha_override: float | None = None) -> AgcStateSc:
     """Subcarrier-domain variant of :func:`compute_agc` (no n_fft embed);
-    numerically identical on the observed data bins."""
+    numerically identical on the observed data bins.
+
+    ``alpha_override`` replaces the per-antenna Bussgang closed form with a
+    caller-supplied constant — the reference's path for PA models without
+    an analytic alpha (TOI: ``reference/corrector.py:146-147``,
+    ``reference/antenna_array.py:353-355``)."""
     n_sc = h_sc.shape[-1]
     if v.ndim == 3:
         if usr_idx is None:
@@ -129,7 +135,10 @@ def compute_agc_sc(h_sc: Array, v: Array, ibo_db: float, n_ant: int,
     vk_pow_vec = precoding_power_per_antenna(v)
     hk_vk = h_sc * v_usr
     hk_vk_avg = ant_sum(hk_vk)
-    ak_vect = per_antenna_alpha(ibo_db, vk_pow_vec, n_sc, n_ant)
+    if alpha_override is None:
+        ak_vect = per_antenna_alpha(ibo_db, vk_pow_vec, n_sc, n_ant)
+    else:
+        ak_vect = jnp.full(vk_pow_vec.shape, alpha_override)
     ak_hk_vk_avg = ant_sum(ak_vect[:, None].astype(hk_vk.dtype) * hk_vk)
     return AgcStateSc(
         hk_vk_agc_sc=hk_vk_avg,

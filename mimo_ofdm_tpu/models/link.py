@@ -168,8 +168,18 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         v = precoder(h_pre_sc)                          # [n_ant, n_sc]
         sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v,
                                          ant_axis_name, n_ant)
-        agc = agc_mod.compute_agc_sc(h_pre_sc, v, ibo_db, n_ant,
-                                     ant_axis_name=ant_axis_name)
+        if pa_model == "toi":
+            # for TOI, `ibo_db` is the intercept point vs the precoded
+            # average power (reference/distortion.py:222-228 with
+            # antenna_array.update_distortion's power rescale)
+            toi_coeff = pa.toi_to_cubic_coeff(
+                ibo_db, avg_samp_pow * precoding.avg_precoding_gain(
+                    v, ant_axis_name, n_ant))
+        else:
+            toi_coeff = 0.0
+        agc = agc_mod.compute_agc_sc(
+            h_pre_sc, v, ibo_db, n_ant, ant_axis_name=ant_axis_name,
+            alpha_override=(cfg.pa.alpha_estimate if pa_model == "toi" else None))
 
         # --- clean run (reference/mp_model.py:136-175) ---
         if incl_clean:
@@ -199,8 +209,10 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         rx_sc = rx_d / agc.ak_hk_vk_agc_sc
 
         if cfg.rx.algorithm == "cnc":
-            replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
-                                                 pa_model)
+            replica = receivers.make_cnc_replica(
+                m, n_fft, n_sc, ibo_db, pa_model,
+                alpha=(cfg.pa.alpha_estimate if pa_model == "toi" else None),
+                rapp_p=cfg.pa.rapp_p_hardness)
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
         elif cfg.rx.algorithm == "mcnc":
             # MCNC replica uses the *precoding* channel (noisy under CSI
@@ -208,7 +220,8 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
             replica = receivers.make_mcnc_replica(
                 h_pre_sc, v, agc.ak_hk_vk_agc_sc, constel_size=m,
                 n_fft=n_fft, n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
-                rapp_p=cfg.pa.rapp_p_hardness, ant_axis_name=ant_axis_name)
+                rapp_p=cfg.pa.rapp_p_hardness, toi_coeff=toi_coeff,
+                ant_axis_name=ant_axis_name)
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
         elif cfg.rx.algorithm == "none":
             one = receivers.standard_receive_sc(rx_sc, m)

@@ -48,6 +48,9 @@ class PaConfig:
     model: str = "softlim"  # softlim | rapp | toi | none
     ibo_db: float = 0.0     # for toi this is the TOI value in dB
     rapp_p_hardness: float = 1.1
+    # alpha for models without a closed form (TOI), cf.
+    # reference/corrector.py:146-147 / reference/antenna_array.py:353-355
+    alpha_estimate: float = 1.0
 
 
 @dataclass(frozen=True)
