@@ -177,9 +177,15 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
                     v, ant_axis_name, n_ant))
         else:
             toi_coeff = 0.0
+        if pa_model == "toi":
+            alpha_override = cfg.pa.alpha_estimate
+        elif pa_model == "none":
+            alpha_override = 1.0   # linear PA: no Bussgang shrink
+        else:
+            alpha_override = None
         agc = agc_mod.compute_agc_sc(
             h_pre_sc, v, ibo_db, n_ant, ant_axis_name=ant_axis_name,
-            alpha_override=(cfg.pa.alpha_estimate if pa_model == "toi" else None))
+            alpha_override=alpha_override)
 
         # --- clean run (reference/mp_model.py:136-175) ---
         if incl_clean:
@@ -211,8 +217,7 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         if cfg.rx.algorithm == "cnc":
             replica = receivers.make_cnc_replica(
                 m, n_fft, n_sc, ibo_db, pa_model,
-                alpha=(cfg.pa.alpha_estimate if pa_model == "toi" else None),
-                rapp_p=cfg.pa.rapp_p_hardness)
+                alpha=alpha_override, rapp_p=cfg.pa.rapp_p_hardness)
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
         elif cfg.rx.algorithm == "mcnc":
             # MCNC replica uses the *precoding* channel (noisy under CSI
