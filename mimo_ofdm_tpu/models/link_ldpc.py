@@ -1,0 +1,150 @@
+"""LDPC-coded link — the TPU-native ``LinkLdpc``
+(``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py``).
+
+One OFDM frame carries exactly one codeword: ``N = n_sub_carr *
+bits_per_symbol`` coded bits, ``K = N * rate`` info bits (the reference
+sizes the transport block as ``n_bits_per_ofdm_sym * code_rate``,
+``mp_ldpc_model.py:99-100``). The RX chain per CNC iteration tap: soft
+LLR demap of the corrected symbols with
+``noise_var = 2 * avg_symbol_power / snr_lin``
+(``mp_ldpc_model.py:121``), negate (``mp_ldpc_model.py:168-169``:
+demapper positive = bit 1, decoder positive = bit 0), min-sum LDPC
+decode, count info-bit errors.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from mimo_ofdm_tpu.ops import bits as bits_ops
+from mimo_ofdm_tpu.ops import ldpc, noise as noise_ops, ofdm, pa, qam
+from mimo_ofdm_tpu.models import agc as agc_mod
+from mimo_ofdm_tpu.models import channels, precoding, receivers, transmit
+from mimo_ofdm_tpu.models.link import link_static, make_channel_fn
+from mimo_ofdm_tpu.utils.config import LinkConfig
+
+
+class CodedFrameCounters(NamedTuple):
+    clean_err: Array    # scalar int32 — coded clean run
+    dist_err: Array     # [n_iters + 1] int32 — per CNC iteration tap
+
+
+def code_for_modem(cfg: LinkConfig, code_rate: float = 0.5,
+                   m_b: int = 12) -> ldpc.QcLdpcCode:
+    """Build a QC-LDPC code whose codeword fills one OFDM frame."""
+    n_coded = cfg.modem.n_bits_per_ofdm_sym
+    k_b = round(m_b * code_rate / (1.0 - code_rate))
+    n_b = k_b + m_b
+    if n_coded % n_b:
+        raise ValueError(f"n_bits_per_ofdm_sym={n_coded} not divisible by "
+                         f"n_b={n_b}; adjust m_b or modem size")
+    z = n_coded // n_b
+    return ldpc.make_default_code(k_b=k_b, m_b=m_b, z=z)
+
+
+def make_coded_frame_fn(cfg: LinkConfig, n_iters: int,
+                        code: ldpc.QcLdpcCode | None = None,
+                        ldpc_iters: int = 25, *, incl_clean: bool = True,
+                        reroll: bool = True, dtype=jnp.complex64):
+    """Per-frame coded simulator
+    ``frame_fn(key, snr_db, tx_pos) -> CodedFrameCounters``."""
+    if code is None:
+        code = code_for_modem(cfg)
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    ibo_db = cfg.pa.ibo_db
+    avg_sym_pow = cfg.modem.avg_symbol_power
+    avg_samp_pow = cfg.modem.avg_sample_power
+    pa_model = cfg.pa.model
+    assert code.n == cfg.modem.n_bits_per_ofdm_sym
+
+    _, freqs, rx_base = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    channel_fn = make_channel_fn(cfg, freqs_sc, rx_base, reroll, dtype)
+    precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users)
+
+    def decode_count(sym, info_bits, snr_db):
+        # noise_var = 2 * avg_sym_pow / snr_lin (mp_ldpc_model.py:121)
+        nv = 2.0 * avg_sym_pow / (10.0 ** (snr_db / 10.0))
+        llr = qam.soft_llr(sym, m, nv)
+        hard = ldpc.decode(code, -llr, n_iters=ldpc_iters)
+        return bits_ops.count_bit_errors(info_bits, hard)
+
+    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> CodedFrameCounters:
+        k_chan, k_info_c, k_info_d, k_noise_c, k_noise_d = jax.random.split(key, 5)
+
+        h_sc = channel_fn(k_chan, tx_pos)
+        v = precoder(h_sc)
+        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
+        agc = agc_mod.compute_agc_sc(h_sc, v, ibo_db, n_ant)
+
+        # --- clean coded run ---
+        if incl_clean:
+            info_c = jax.random.bernoulli(k_info_c, 0.5,
+                                          (code.k,)).astype(jnp.int8)
+            coded_c = ldpc.encode(code, info_c)
+            sym_c = qam.modulate_bits(coded_c, m, dtype)
+            tx_sc = transmit.precode_symbols(sym_c, v)
+            rx = channels.propagate(h_sc, tx_sc)
+            rx = noise_ops.awgn(k_noise_c, rx, snr_db,
+                                avg_sym_pow * agc.hk_vk_noise_scaler)
+            rx = rx / agc.hk_vk_agc_sc
+            clean_err = decode_count(rx, info_c, snr_db)
+        else:
+            clean_err = jnp.zeros((), jnp.int32)
+
+        # --- distorted coded run with CNC/MCNC symbol taps ---
+        info_d = jax.random.bernoulli(k_info_d, 0.5, (code.k,)).astype(jnp.int8)
+        coded_d = ldpc.encode(code, info_d)
+        fd_dist = transmit.array_transmit_fd(
+            coded_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+        rx_d = channels.propagate(h_sc, fd_dist_sc)
+        rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
+                              avg_sym_pow * agc.ak_hk_vk_noise_scaler)
+        rx_sc = rx_d / agc.ak_hk_vk_agc_sc
+
+        if cfg.rx.algorithm == "mcnc":
+            replica = receivers.make_mcnc_replica(
+                h_sc, v, agc.ak_hk_vk_agc_sc, constel_size=m, n_fft=n_fft,
+                n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
+                rapp_p=cfg.pa.rapp_p_hardness)
+        else:
+            replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
+                                                 pa_model)
+        corr_all = receivers.cnc_iterate_soft(rx_sc, n_iters, m, replica)
+
+        def per_tap(sym):
+            return decode_count(sym, info_d, snr_db)
+
+        dist_err = jax.lax.map(per_tap, corr_all)
+        return CodedFrameCounters(clean_err=clean_err, dist_err=dist_err)
+
+    return frame_fn
+
+
+def make_coded_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
+                        code: ldpc.QcLdpcCode | None = None,
+                        ldpc_iters: int = 25, *, incl_clean: bool = True,
+                        reroll: bool = True, dtype=jnp.complex64):
+    """Jitted coded Monte-Carlo round summed over ``batch`` frames."""
+    frame_fn = make_coded_frame_fn(cfg, n_iters, code, ldpc_iters,
+                                   incl_clean=incl_clean, reroll=reroll,
+                                   dtype=dtype)
+    tx_pos = link_static(cfg, dtype)[0]
+
+    @jax.jit
+    def round_fn(key: Array, snr_db: Array) -> CodedFrameCounters:
+        keys = jax.random.split(key, batch)
+        counters = jax.vmap(frame_fn, in_axes=(0, None, None))(keys, snr_db,
+                                                               tx_pos)
+        return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
+                            counters)
+
+    return round_fn

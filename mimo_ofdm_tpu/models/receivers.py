@@ -63,6 +63,10 @@ def cnc_iterate(rx_sc: Array, n_iters: int, constel_size: int,
     matching ``iter_idx == 0`` skipping the subtraction,
     ``reference/corrector.py:72-76``). Returns
     ``(bits [n_iters+1, ..., n_bits], symbols [n_iters+1, ..., n_sc])``.
+    Use :func:`cnc_iterate_soft` when the per-iteration *corrected signal*
+    (pre-detection) is needed, e.g. for soft demodulation into an LDPC
+    decoder (the reference's ``return_bits=False`` path,
+    ``reference/corrector.py:83-84``).
     """
     d0 = jnp.zeros_like(rx_sc)
 
@@ -76,6 +80,28 @@ def cnc_iterate(rx_sc: Array, n_iters: int, constel_size: int,
 
     _, (bits_all, sym_all) = jax.lax.scan(body, d0, None, length=n_iters + 1)
     return bits_all, sym_all
+
+
+def cnc_iterate_soft(rx_sc: Array, n_iters: int, constel_size: int,
+                     replica_fn: Callable[[Array], Array],
+                     detect_alpha: Array | float = 1.0) -> Array:
+    """CNC loop returning the per-iteration *corrected* (distortion-
+    subtracted, pre-detection) signal ``[n_iters+1, ..., n_sc]`` —
+    the symbols fed to the soft demapper + LDPC decoder in the coded link
+    (``reference/corrector.py:83-84`` with ``return_bits=False``,
+    ``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:232-239``)."""
+    d0 = jnp.zeros_like(rx_sc)
+
+    def body(d_est, _):
+        corr = rx_sc - d_est
+        det_sym, _ = qam.detect_symbols_and_bits(corr, constel_size,
+                                                 detect_alpha,
+                                                 dtype=rx_sc.dtype)
+        est = replica_fn(det_sym)
+        return est - det_sym, corr
+
+    _, corr_all = jax.lax.scan(body, d0, None, length=n_iters + 1)
+    return corr_all
 
 
 def make_cnc_replica(constel_size: int, n_fft: int, n_sc: int, ibo_db: float,
