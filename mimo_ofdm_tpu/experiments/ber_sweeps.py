@@ -217,6 +217,48 @@ def req_ebn0_vs_ibo(channel="los", algorithm="cnc", n_ant=64,
     return np.asarray(ibo_values, float), req
 
 
+@register("ldpc_coded_ber")
+def ldpc_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
+                   n_iters=8, code_rate=0.5, ldpc_iters=25, ebn0_min=5.0,
+                   ebn0_max=15.0, ebn0_step=1.0, n_err_min=10_000,
+                   bits_sent_max=5_000_000, batch=16, seed=0, save_csv=True,
+                   verbose=True, small=False):
+    """Coded BER vs Eb/N0 with CNC/MCNC inside the LDPC loop
+    (``reference/main_cnc_mcnc_w_ldpc/main_mp_ldpc_cnc_ber_vs_ebn0.py``
+    driving ``LinkLdpc``)."""
+    import jax
+    from mimo_ofdm_tpu.models.link_ldpc import (code_for_modem,
+                                                make_coded_round_fn)
+    modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
+                        n_sub_carr=128 if small else 2048,
+                        cp_len=16 if small else 128)
+    cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=n_ant),
+                     channel=ChannelConfig(model=channel), precoding="mrt",
+                     pa=PaConfig(model="softlim", ibo_db=ibo_db),
+                     rx=RxConfig(algorithm=algorithm))
+    code = code_for_modem(cfg, code_rate=code_rate)
+    round_fn = make_coded_round_fn(cfg, n_iters, batch, code,
+                                   ldpc_iters=ldpc_iters)
+    ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
+    snrs = ebn0_to_snr(ebn0, modem.n_fft, modem.n_sub_carr, modem.constel_size)
+    res = SweepResult(param_values=ebn0)
+    for i, snr in enumerate(snrs):
+        pt = run_point(round_fn, jax.random.fold_in(jax.random.key(seed), i),
+                       float(snr), n_counters=n_iters + 2,
+                       n_bits_per_frame=code.k, batch=batch,
+                       n_err_min=n_err_min, bits_sent_max=bits_sent_max)
+        res.points.append(pt)
+        if verbose:
+            print(f"Eb/N0={ebn0[i]:5.1f}  coded BER="
+                  f"{np.array2string(pt.ber, precision=4)}")
+    if save_csv:
+        fname = results.ber_sweep_filename(
+            f"ldpc_r{code_rate:.2f}_ber_vs_ebn0", algorithm, channel, n_ant,
+            ibo_db, ebn0, list(range(1, n_iters + 1)))
+        results.save_ber_sweep(ebn0, res.ber_matrix, fname)
+    return res
+
+
 @register("multiuser_ber")
 def multiuser_ber(precoding="mrt", algorithm="cnc", n_ant=64, ibo_db=0.0,
                   n_iters=8, ebn0_min=5.0, ebn0_max=20.0, ebn0_step=2.0,
