@@ -33,13 +33,22 @@ def main():
     key = jax.random.key(0)
     snr = jnp.float32(15.0)
 
+    import numpy as np
+
+    def run_once(k):
+        # fetch the counters to host: forces real device sync (the axon
+        # backend's block_until_ready does not) and matches how the
+        # Monte-Carlo driver consumes rounds
+        c = round_fn(k, snr)
+        return int(np.asarray(c.clean_err)) + int(np.asarray(c.dist_err)[0])
+
     # compile + warmup
-    jax.block_until_ready(round_fn(key, snr))
+    run_once(key)
     t0 = time.perf_counter()
     n_rounds = 0
     while time.perf_counter() - t0 < 10.0:
         key = jax.random.fold_in(key, n_rounds)
-        jax.block_until_ready(round_fn(key, snr))
+        run_once(key)
         n_rounds += 1
     dt = time.perf_counter() - t0
     frames_per_s = n_rounds * batch / dt
