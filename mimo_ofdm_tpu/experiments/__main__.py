@@ -22,15 +22,50 @@ def _parse_value(s: str):
         return s
 
 
+def run_grid(specs: list, stop_on_error: bool = False) -> int:
+    """Run a batch of experiments sequentially, surviving individual
+    failures — the headless-runner pattern of
+    ``reference/vm_scripts/vm_runner.py:15-31`` (try/except per script)
+    and ``main_mp_mrt_runner.py:15-21`` (parameter grids).
+
+    ``specs``: list of ``(name, kwargs)`` pairs or ``{"name":..., **kw}``
+    dicts."""
+    failures = 0
+    for spec in specs:
+        if isinstance(spec, dict):
+            name = spec.pop("name")
+            kwargs = spec
+        else:
+            name, kwargs = spec
+        print(f"=== running {name} {kwargs}")
+        try:
+            EXPERIMENTS[name](**kwargs)
+        except Exception as e:  # noqa: BLE001 - runner must survive failures
+            failures += 1
+            print(f"!!! {name} failed: {e}")
+            if stop_on_error:
+                raise
+    return failures
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m mimo_ofdm_tpu.experiments <name> [--key value ...]")
+        print("       python -m mimo_ofdm_tpu.experiments grid <specs.py-literal|@file>")
         print("experiments:")
         for name, fn in sorted(EXPERIMENTS.items()):
             doc = (fn.__doc__ or "").strip().splitlines()[0]
             print(f"  {name:20s} {doc}")
         return 0
+    if argv[0] == "grid":
+        arg = argv[1]
+        if arg.startswith("@"):
+            with open(arg[1:]) as f:
+                specs = ast.literal_eval(f.read())
+        else:
+            specs = ast.literal_eval(arg)
+        return run_grid(specs)
     name = argv[0]
     if name not in EXPERIMENTS:
         print(f"unknown experiment {name!r}; run with --help for the list")
