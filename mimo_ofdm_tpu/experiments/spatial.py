@@ -71,6 +71,85 @@ def sdr_vs_ibo(channels=("los", "two_path", "rayleigh"), n_ant=64,
     return np.asarray(ibo_values, float), sdr
 
 
+@register("mu_beampattern")
+def mu_beampattern(n_ant=64, ibo_db=0.0, usr_angles_deg=(-30.0, 30.0),
+                   radial_distance=300.0, n_points=180, n_snapshots=32,
+                   precoding="mrt", seed=0, save_csv=True, verbose=True,
+                   small=False):
+    """Two-user distortion radiation pattern: with MU precoding the
+    third-order clipping products beamform toward the intermodulation
+    directions ``2 theta_1 - theta_2`` and ``2 theta_2 - theta_1``
+    (``reference/main_multiuser/2_users_ula_distortion_angles_prediction.py``,
+    ``main_multiuser_mrt_vs_zf_precoding_radiation_pattern.py``)."""
+    import jax
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.models import channels, precoding as prec, transmit
+    from mimo_ofdm_tpu.models.analysis import bussgang_split
+    from mimo_ofdm_tpu.models.link import link_static
+    from mimo_ofdm_tpu.models.geometry import pts_on_semicircum
+    from mimo_ofdm_tpu.ops import ofdm
+
+    cfg = _cfg(n_ant, ibo_db, small=small)
+    cfg = cfg.replace(modem=cfg.modem.__class__(
+        constel_size=cfg.modem.constel_size, n_fft=cfg.modem.n_fft,
+        n_sub_carr=cfg.modem.n_sub_carr, cp_len=cfg.modem.cp_len, n_users=2))
+    m, n_fft, n_sc = (cfg.modem.constel_size, cfg.modem.n_fft,
+                      cfg.modem.n_sub_carr)
+    tx_pos, freqs, _ = link_static(cfg)
+
+    pts2d = pts_on_semicircum(radial_distance, n_points)
+    pts = np.concatenate([pts2d, np.full((len(pts2d), 1), 1.5)], axis=1)
+    angles = np.radians(np.linspace(-90, 90, n_points + 1))
+
+    # users at chosen semicircle angles (reference convention: angle+90)
+    usr_pos = []
+    for a in usr_angles_deg:
+        idx = int(n_points / 180 * (a + 90))
+        usr_pos.append(pts[idx])
+    h_usr = jnp.stack([channels.los_channel(tx_pos, jnp.asarray(p, jnp.float32),
+                                            freqs) for p in usr_pos])
+    h_usr_sc = ofdm.extract_subcarriers(h_usr, n_sc)
+    precoder = prec.make_precoder(precoding, n_users=2)
+    v = precoder(h_usr_sc)                                  # [n_ant, 2, n_sc]
+    sat = prec.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
+    vk_pow = prec.precoding_power_per_antenna(v)
+    ak = prec.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+
+    snap_keys = jax.random.split(jax.random.key(seed), n_snapshots)
+
+    def one_point(rx_pos):
+        h = channels.los_channel(tx_pos, rx_pos, freqs)
+
+        def one_snap(k):
+            bits = jax.random.bernoulli(
+                k, 0.5, (2, cfg.modem.n_bits_per_ofdm_sym)).astype(jnp.int8)
+            fd_dist, fd_clean = transmit.array_transmit_fd(
+                bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
+                sat_power=sat, return_clean=True)
+            rx = ofdm.extract_subcarriers(
+                channels.propagate(h, fd_dist, sum_signals=False), n_sc)
+            cl = ofdm.extract_subcarriers(
+                channels.propagate(h, fd_clean, sum_signals=False), n_sc)
+            desired, distortion = bussgang_split(rx, cl, ak)
+            return (jnp.sum(jnp.abs(jnp.sum(desired, axis=0)) ** 2),
+                    jnp.sum(jnp.abs(jnp.sum(distortion, axis=0)) ** 2))
+
+        d, e = jax.vmap(one_snap)(snap_keys)
+        return jnp.sum(d), jnp.sum(e)
+
+    d_pow, e_pow = jax.lax.map(jax.jit(one_point),
+                               jnp.asarray(pts, jnp.float32), batch_size=16)
+    pred = sorted([2 * usr_angles_deg[0] - usr_angles_deg[1],
+                   2 * usr_angles_deg[1] - usr_angles_deg[0]])
+    if verbose:
+        print(f"predicted intermod distortion directions: {pred} deg")
+    if save_csv:
+        results.save_to_csv([angles, np.asarray(d_pow), np.asarray(e_pow)],
+                            f"mu_radiation_pattern_{precoding}_nant{n_ant}"
+                            f"_ibo{int(ibo_db)}")
+    return angles, np.asarray(d_pow), np.asarray(e_pow), pred
+
+
 @register("psd_eval")
 def psd_eval(n_ant=64, ibo_db=0.0, n_snapshots=32, psd_nfft=128,
              n_samp_per_seg=64, seed=0, save_csv=True, verbose=True,

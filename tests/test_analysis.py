@@ -75,3 +75,25 @@ def test_sdr_increases_with_ibo():
         sdrs.append(float(sdr_at_point(cfg, jax.random.key(2),
                                        (150.0, 150.0, 1.5), n_snapshots=4)))
     assert sdrs[0] < sdrs[1] < sdrs[2]
+
+
+def test_mu_distortion_intermod_lobes():
+    """Two-user MRT: third-order clipping products beamform toward
+    2*theta1 - theta2 and 2*theta2 - theta1 (the prediction of
+    ``reference/main_multiuser/2_users_ula_distortion_angles_prediction.py``)."""
+    from mimo_ofdm_tpu.experiments import EXPERIMENTS
+    ang, d, e, pred = EXPERIMENTS["mu_beampattern"](
+        n_ant=32, n_points=72, n_snapshots=4, usr_angles_deg=(-20.0, 20.0),
+        small=True, save_csv=False, verbose=False)
+    deg = np.degrees(ang)
+    edb = 10 * np.log10(np.asarray(e) / np.asarray(e).max())
+
+    def at(a):
+        return edb[int(np.argmin(abs(deg - a)))]
+
+    assert pred == [-60.0, 60.0]
+    # main distortion lobes ride with the users...
+    assert at(-20) > -3 and at(20) > -3
+    # ...and intermod lobes at +-60 stand well above the +-40 sidelobe floor
+    assert at(60) > at(40) + 3
+    assert at(-60) > at(-40) + 3
