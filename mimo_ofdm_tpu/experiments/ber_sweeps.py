@@ -98,7 +98,7 @@ def miso_ber_vs_ibo(channel="los", algorithm="cnc", n_ant=64, ebn0_db=15.0,
                            channel=ChannelConfig(model=channel),
                            pa=PaConfig(model=cfg0.pa.model, ibo_db=float(ibo)),
                            rx=RxConfig(algorithm=algorithm))
-        snr = ebn0_to_snr(ebn0_db, cfg.modem.n_fft, cfg.modem.n_sub_carr,
+        snr = ebn0_to_snr(ebn0_db, cfg.modem.n_sub_carr, cfg.modem.n_sub_carr,
                           cfg.modem.constel_size)
         round_fn = make_round_fn(cfg, n_iters, batch)
         import jax
@@ -140,7 +140,7 @@ def miso_ber_vs_nant(channels=("los", "rayleigh"), algorithm="cnc",
                                channel=ChannelConfig(model=chan),
                                pa=PaConfig(model=cfg0.pa.model, ibo_db=ibo_db),
                                rx=RxConfig(algorithm=algorithm))
-            snr = ebn0_to_snr(ebn0_db, cfg.modem.n_fft, cfg.modem.n_sub_carr,
+            snr = ebn0_to_snr(ebn0_db, cfg.modem.n_sub_carr, cfg.modem.n_sub_carr,
                               cfg.modem.constel_size)
             round_fn = make_round_fn(cfg, n_iters, batch)
             pt = run_point(round_fn,
@@ -178,7 +178,7 @@ def req_ebn0_vs_ibo(channel="los", algorithm="cnc", n_ant=64,
                                               n_sub_carr=128, cp_len=16))
 
     def ber_at(cfg, round_fn, ebn0, i):
-        snr = ebn0_to_snr(ebn0, cfg.modem.n_fft, cfg.modem.n_sub_carr,
+        snr = ebn0_to_snr(ebn0, cfg.modem.n_sub_carr, cfg.modem.n_sub_carr,
                           cfg.modem.constel_size)
         pt = run_point(round_fn, jax.random.fold_in(jax.random.key(seed), i),
                        float(snr), n_counters=n_iters + 2,
@@ -240,7 +240,7 @@ def ldpc_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
     round_fn = make_coded_round_fn(cfg, n_iters, batch, code,
                                    ldpc_iters=ldpc_iters)
     ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
-    snrs = ebn0_to_snr(ebn0, modem.n_fft, modem.n_sub_carr, modem.constel_size)
+    snrs = ebn0_to_snr(ebn0, modem.n_sub_carr, modem.n_sub_carr, modem.constel_size)
     res = SweepResult(param_values=ebn0)
     for i, snr in enumerate(snrs):
         pt = run_point(round_fn, jax.random.fold_in(jax.random.key(seed), i),
@@ -276,7 +276,7 @@ def multiuser_ber(precoding="mrt", algorithm="cnc", n_ant=64, ibo_db=0.0,
                      pa=PaConfig(model="softlim", ibo_db=ibo_db),
                      rx=RxConfig(algorithm=algorithm))
     ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
-    snrs = ebn0_to_snr(ebn0, modem.n_fft, modem.n_sub_carr, modem.constel_size)
+    snrs = ebn0_to_snr(ebn0, modem.n_sub_carr, modem.n_sub_carr, modem.constel_size)
     round_fn = make_mu_round_fn(cfg, n_iters, batch)
     n_bits_frame = modem.n_bits_per_ofdm_sym
 

@@ -104,7 +104,13 @@ def run_ber_sweep(cfg: LinkConfig, sweep: SweepConfig, n_iters: int,
     ebn0 = np.arange(sweep.ebn0_min, sweep.ebn0_max + sweep.ebn0_step / 2,
                      sweep.ebn0_step)
     if snr_db_values is None:
-        snr_db_values = ebn0_to_snr(ebn0, cfg.modem.n_fft, cfg.modem.n_sub_carr,
+        # Canonical reference convention: the conversion references the
+        # noise to the data band only — every reference sweep passes
+        # n_sub_carr for BOTH n_fft and n_sub_carr, i.e. SNR = Eb/N0 *
+        # log2(M) (reference/main_clipping_noise_cancellation/
+        # main_miso_cnc_ber_vs_ebn0.py:99, main_mp_*:112).
+        snr_db_values = ebn0_to_snr(ebn0, cfg.modem.n_sub_carr,
+                                    cfg.modem.n_sub_carr,
                                     cfg.modem.constel_size)
     if round_fn is None:
         round_fn = make_round_fn(cfg, n_iters, sweep.batch_frames,

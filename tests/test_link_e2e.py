@@ -34,10 +34,11 @@ def sweep_one(ebn0, n_err=1500, bits=1_500_000, batch=16):
 
 
 def effective_ebn0(ebn0, cfg):
-    """The reference defines SNR against noise spread over all n_fft bins
-    (``reference/utilities.py:108-118``); textbook Eb/N0 is offset by
-    10log10(n_sc/n_fft)."""
-    return ebn0 + 10 * np.log10(cfg.modem.n_sub_carr / cfg.modem.n_fft)
+    """With the canonical reference conversion (noise referenced to the
+    data band: ``ebn0_to_snr(ebn0, n_sub_carr, n_sub_carr, M)``, see
+    ``reference/main_miso_cnc_ber_vs_ebn0.py:99``), the textbook Eb/N0
+    equals the swept Eb/N0 directly."""
+    return ebn0
 
 
 def test_siso_awgn_clean_ber_matches_theory():
