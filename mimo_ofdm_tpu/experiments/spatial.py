@@ -49,6 +49,79 @@ def beampattern(n_ant_values=(1, 2, 4, 8, 16, 32, 64), ibo_db=0.0,
     return out
 
 
+@register("mu_sinr")
+def mu_sinr(n_users=8, n_ant=128, ibo_db=0.0, precoding="zf",
+            n_snapshots=16, seed=0, verbose=True, small=False):
+    """Per-user SDR/SINR of the nonlinear MU downlink (e.g. 8 users x 128
+    antennas; cf. the per-user SDR table of
+    ``reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py:184-258``)."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import mu_sinr_sdr
+    from mimo_ofdm_tpu.models.link_mu import spread_user_positions
+    cfg = _cfg(n_ant, ibo_db, small=small)
+    pos = spread_user_positions(n_users)
+    sdr, sinr = mu_sinr_sdr(cfg, jax.random.key(seed), pos,
+                            n_snapshots=n_snapshots, precoding_kind=precoding)
+    import numpy as np
+    sdr, sinr = np.asarray(sdr), np.asarray(sinr)
+    if verbose:
+        print("user  SDR[dB]  SINR[dB]")
+        for u in range(n_users):
+            print(f"{u:4d}  {sdr[u]:7.2f}  {sinr[u]:8.2f}")
+    return sdr, sinr
+
+
+@register("evm_vs_ibo")
+def evm_vs_ibo(n_ant=64, ibo_values=(0.0, 2.0, 4.0, 6.0, 8.0), channel="los",
+               n_snapshots=16, seed=0, save_csv=True, verbose=True,
+               small=False):
+    """RMS EVM of the equalized received constellation vs IBO (the EVM
+    counterpart of the BER/SDR sweeps)."""
+    import jax
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.models import agc as agc_mod
+    from mimo_ofdm_tpu.models import channels, precoding as prec, transmit
+    from mimo_ofdm_tpu.models.link import link_static, make_channel_fn
+    from mimo_ofdm_tpu.ops import ofdm, qam
+    from mimo_ofdm_tpu.ops.metrics import evm_rms
+
+    evms = []
+    for ibo in ibo_values:
+        cfg = _cfg(n_ant, float(ibo), chan=channel, small=small)
+        m, n_fft, n_sc = (cfg.modem.constel_size, cfg.modem.n_fft,
+                          cfg.modem.n_sub_carr)
+        tx_pos, freqs, rx_base = link_static(cfg)
+        freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+        chan_fn = make_channel_fn(cfg, freqs_sc, rx_base, reroll=False)
+
+        def one(k, cfg=cfg, m=m, n_fft=n_fft, n_sc=n_sc, chan_fn=chan_fn,
+                tx_pos=tx_pos):
+            k_c, k_b = jax.random.split(k)
+            h_sc = chan_fn(k_c, tx_pos)
+            v = prec.mrt_precoder(h_sc)
+            sat = prec.pa_sat_power(cfg.pa.ibo_db, cfg.modem.avg_sample_power, v)
+            agc = agc_mod.compute_agc_sc(h_sc, v, cfg.pa.ibo_db,
+                                         cfg.array.n_elements)
+            bits = jax.random.bernoulli(
+                k_b, 0.5, (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+            sym = qam.modulate_bits(bits, m)
+            fd = transmit.array_transmit_fd(bits, constel_size=m, n_fft=n_fft,
+                                            v=v, pa_model=cfg.pa.model,
+                                            sat_power=sat)
+            rx = channels.propagate(h_sc, ofdm.extract_subcarriers(fd, n_sc))
+            rx = rx / agc.ak_hk_vk_agc_sc
+            return evm_rms(rx, sym)
+
+        vals = jax.vmap(one)(jax.random.split(jax.random.key(seed), n_snapshots))
+        evms.append(float(jnp.sqrt(jnp.mean(vals ** 2))))
+        if verbose:
+            print(f"IBO={ibo:4.1f} dB  EVM={evms[-1] * 100:.2f}%")
+    if save_csv:
+        results.save_to_csv([np.asarray(ibo_values, float), np.asarray(evms)],
+                            f"evm_vs_ibo_{channel}_nant{n_ant}")
+    return np.asarray(ibo_values, float), np.asarray(evms)
+
+
 @register("sdr_vs_ibo")
 def sdr_vs_ibo(channels=("los", "two_path", "rayleigh"), n_ant=64,
                ibo_values=(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),

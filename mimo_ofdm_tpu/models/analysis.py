@@ -135,6 +135,69 @@ def beampattern_scan(cfg: LinkConfig, key: Array, *, precoding_angle_deg: float 
                              distortion_pow=e_pow)
 
 
+def mu_sinr_sdr(cfg: LinkConfig, key: Array, user_positions, *,
+                n_snapshots: int = 16, precoding_kind: str = "mrt",
+                dtype=jnp.complex64):
+    """Per-user SDR and SINR of the nonlinearly-distorted MU downlink
+    (the per-user SDR measurement of
+    ``reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py:184-258``):
+
+    * ``SDR_u``  = P(desired_u) / P(total received − all users' desired)
+      — distortion only (inter-user linear terms excluded),
+    * ``SINR_u`` = P(desired_u) / P(total received − desired_u)
+      — distortion + inter-user interference.
+
+    ``desired_u`` is the Bussgang linear part of user u's own signal:
+    ``sum_ant a_k H_u V_u s_u``. Returns ``(sdr_db [n_usr],
+    sinr_db [n_usr])``.
+    """
+    import numpy as np_
+    from mimo_ofdm_tpu.models.link import link_static
+
+    m, n_fft, n_sc = (cfg.modem.constel_size, cfg.modem.n_fft,
+                      cfg.modem.n_sub_carr)
+    n_ant = cfg.array.n_elements
+    n_usr = len(user_positions)
+    ibo_db = cfg.pa.ibo_db
+    tx_pos, freqs, _ = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+
+    h_usr = jnp.stack([
+        channels.los_channel(tx_pos, jnp.asarray(p, jnp.float32), freqs_sc,
+                             dtype=dtype) for p in np_.asarray(user_positions)])
+    precoder = precoding.make_precoder(precoding_kind, n_users=n_usr)
+    v = precoder(h_usr)                                    # [n_ant, n_usr, n_sc]
+    sat = precoding.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
+    vk_pow = precoding.precoding_power_per_antenna(v)
+    ak = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+    # effective per-user linear gain g_u[sc] = sum_ant a_k H_u V_u
+    g = jnp.einsum("a,uas,aus->us", ak.astype(dtype), h_usr, v)
+
+    def one_snap(k):
+        bits = jax.random.bernoulli(
+            k, 0.5, (n_usr, cfg.modem.n_bits_per_ofdm_sym)).astype(jnp.int8)
+        from mimo_ofdm_tpu.ops import qam
+        sym = qam.modulate_bits(bits, m, dtype)            # [n_usr, n_sc]
+        fd_dist = transmit.array_transmit_fd(
+            bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
+            sat_power=sat, dtype=dtype)
+        fd_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+        rx = jnp.einsum("uas,as->us", h_usr, fd_sc)        # per-user received
+        desired = g * sym                                  # [n_usr, n_sc]
+        p_des = jnp.sum(jnp.abs(desired) ** 2, axis=-1)
+        # total linear part of *all* users at user u's receiver
+        g_cross = jnp.einsum("a,uas,avs->uvs", ak.astype(dtype), h_usr, v)
+        lin_all = jnp.einsum("uvs,vs->us", g_cross, sym)
+        p_dist = jnp.sum(jnp.abs(rx - lin_all) ** 2, axis=-1)
+        p_intf_dist = jnp.sum(jnp.abs(rx - desired) ** 2, axis=-1)
+        return p_des, p_dist, p_intf_dist
+
+    p_des, p_dist, p_id = jax.vmap(one_snap)(jax.random.split(key, n_snapshots))
+    sdr = 10.0 * jnp.log10(jnp.sum(p_des, 0) / jnp.sum(p_dist, 0))
+    sinr = 10.0 * jnp.log10(jnp.sum(p_des, 0) / jnp.sum(p_id, 0))
+    return sdr, sinr
+
+
 def sdr_at_point(cfg: LinkConfig, key: Array, rx_pos, n_snapshots: int = 16,
                  dtype=jnp.complex64) -> Array:
     """Signal-to-distortion ratio at one RX point (summed combine),

@@ -45,6 +45,17 @@ def default_user_positions(angles_deg=(-30.0, 30.0), distances=(100.0, 316.3),
     return np.asarray(out)
 
 
+def spread_user_positions(n_users: int, distance: float = 200.0,
+                          span_deg: float = 120.0,
+                          cord_z: float = 1.5) -> np.ndarray:
+    """``n_users`` users spread uniformly over ``span_deg`` around
+    broadside at a common distance — for larger MU scenarios (e.g. 8
+    users x 128 antennas)."""
+    angles = np.linspace(-span_deg / 2, span_deg / 2, n_users)
+    return default_user_positions(tuple(angles), tuple([distance] * n_users),
+                                  cord_z)
+
+
 class MuFrameCounters(NamedTuple):
     clean_err: Array   # [n_usr] int32
     dist_err: Array    # [n_usr, n_iters + 1] int32
@@ -130,6 +141,10 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
             if algorithm == "cnc":
                 replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
                                                      pa_model)
+            elif n_usr != 2:
+                raise ValueError(
+                    "cnc_mu/mcnc_mu are 2-user prototypes, matching the "
+                    "reference (reference/corrector.py:248-251)")
             elif algorithm == "cnc_mu":
                 replica = receivers.make_cnc_mu_replica(
                     other, constel_size=m, n_fft=n_fft, n_sc=n_sc,

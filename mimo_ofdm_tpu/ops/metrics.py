@@ -36,6 +36,15 @@ def to_db(x):
     return 10.0 * jnp.log10(x)
 
 
+def evm_rms(rx_symbols: Array, ref_symbols: Array, axis=-1) -> Array:
+    """Root-mean-square error vector magnitude (linear ratio):
+    ``sqrt( E|rx - ref|^2 / E|ref|^2 )``. Multiply by 100 for percent or
+    use ``to_db(evm**2)`` for dB."""
+    err = jnp.mean(jnp.abs(rx_symbols - ref_symbols) ** 2, axis=axis)
+    ref = jnp.mean(jnp.abs(ref_symbols) ** 2, axis=axis)
+    return jnp.sqrt(err / ref)
+
+
 def qam_awgn_ber_theory(constel_size: int, ebn0_db) -> np.ndarray:
     """Closed-form uncoded square-QAM BER over AWGN with Gray mapping
     (textbook approximation; used for unit-test anchoring, cf. the

@@ -97,3 +97,29 @@ def test_mu_distortion_intermod_lobes():
     # ...and intermod lobes at +-60 stand well above the +-40 sidelobe floor
     assert at(60) > at(40) + 3
     assert at(-60) > at(-40) + 3
+
+
+def test_mu_sinr_zf_vs_mrt():
+    """ZF nulls inter-user interference so SINR ~= SDR; MRT leaves
+    cross-talk so SINR < SDR (per-user SINR measurement, BASELINE config
+    'Multi-user ... per-user SINR + BER')."""
+    from mimo_ofdm_tpu.experiments import EXPERIMENTS
+    sdr_zf, sinr_zf = EXPERIMENTS["mu_sinr"](n_users=4, n_ant=32,
+                                             precoding="zf", n_snapshots=4,
+                                             small=True, verbose=False)
+    sdr_mrt, sinr_mrt = EXPERIMENTS["mu_sinr"](n_users=4, n_ant=32,
+                                               precoding="mrt", n_snapshots=4,
+                                               small=True, verbose=False)
+    assert np.all(np.abs(sdr_zf - sinr_zf) < 0.5)
+    assert np.mean(sdr_mrt - sinr_mrt) > 0.1
+    assert np.all(sdr_zf > 5.0)
+
+
+def test_evm_decreases_with_ibo():
+    from mimo_ofdm_tpu.experiments import EXPERIMENTS
+    ibo, evm = EXPERIMENTS["evm_vs_ibo"](n_ant=8, ibo_values=(0.0, 4.0, 8.0),
+                                         n_snapshots=4, small=True,
+                                         save_csv=False, verbose=False)
+    assert evm[0] > evm[1] > evm[2]
+    assert evm[0] > 0.1          # heavy clipping at IBO 0
+    assert evm[2] < 0.02         # nearly linear at IBO 8
