@@ -64,8 +64,10 @@ class MuFrameCounters(NamedTuple):
 def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
                      *, incl_clean: bool = True, reroll: bool = True,
                      dtype=jnp.complex64):
-    """Per-frame MU simulator ``frame_fn(key, snr_db, tx_pos) ->
-    MuFrameCounters``."""
+    """Per-frame MU simulator (shared subcarriers)
+    ``frame_fn(key, snr_db, tx_pos) -> MuFrameCounters``. For the
+    separate-subcarriers-per-user variant see
+    :func:`make_mu_sep_frame_fn`."""
     m = cfg.modem.constel_size
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
     n_ant = cfg.array.n_elements
@@ -165,16 +167,114 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
     return frame_fn
 
 
+def make_mu_sep_frame_fn(cfg: LinkConfig, n_iters: int,
+                         user_positions: np.ndarray, *, incl_clean: bool = True,
+                         reroll: bool = True, dtype=jnp.complex64):
+    """Separate-subcarriers-per-user MU frame
+    (``reference/main_multiuser/main_multiuser_cnc_sep_sc_ber_vs_ebn0.py``):
+    user ``u`` owns the ``u``-th contiguous block of ``n_sc/n_usr``
+    subcarriers; the composed channel takes each user's own block and the
+    precoder is single-user MRT of that composed channel
+    (``reference/antenna_array.py:275-305``). Each user's receiver
+    equalizes with the composed AGC, runs CNC over the whole frame and
+    counts errors only on its own block's bits."""
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    n_usr = len(user_positions)
+    if n_sc % n_usr:
+        raise ValueError("n_sub_carr must divide by n_users for sep carriers")
+    blk = n_sc // n_usr
+    bps = cfg.modem.bits_per_symbol
+    n_bits_usr = blk * bps
+    ibo_db = cfg.pa.ibo_db
+    avg_sym_pow = cfg.modem.avg_symbol_power
+    avg_samp_pow = cfg.modem.avg_sample_power
+    pa_model = cfg.pa.model
+
+    _, freqs, _ = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    user_channel_fns = [
+        make_channel_fn(cfg, freqs_sc,
+                        jnp.asarray(user_positions[u], jnp.float32),
+                        reroll, dtype)
+        for u in range(n_usr)]
+
+    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> MuFrameCounters:
+        keys = jax.random.split(key, 4 + n_usr)
+        k_bits_c, k_bits_d, k_noise_c, k_noise_d = keys[:4]
+        h_usr = jnp.stack([user_channel_fns[u](keys[4 + u], tx_pos)
+                           for u in range(n_usr)])       # [n_usr, n_ant, n_sc]
+        comp_h = jnp.concatenate(
+            [h_usr[u, :, u * blk:(u + 1) * blk] for u in range(n_usr)], axis=-1)
+        v = precoding.mrt_precoder(comp_h)               # [n_ant, n_sc]
+        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
+        agc = agc_mod.compute_agc_sc(comp_h, v, ibo_db, n_ant)
+
+        def per_user_errs(bits, rx_bits_all):
+            return jnp.stack([
+                bits_ops.count_bit_errors(
+                    bits[..., u * n_bits_usr:(u + 1) * n_bits_usr],
+                    rx_bits_all[..., u * n_bits_usr:(u + 1) * n_bits_usr],
+                    axis=-1)
+                for u in range(n_usr)])
+
+        # --- clean run ---
+        if incl_clean:
+            bits_c = jax.random.bernoulli(
+                k_bits_c, 0.5, (n_sc * bps,)).astype(jnp.int8)
+            sym_c = qam.modulate_bits(bits_c, m, dtype)
+            tx_sc = transmit.precode_symbols(sym_c, v)
+            clean_errs = []
+            for u in range(n_usr):
+                rx = channels.propagate(h_usr[u], tx_sc)
+                rx = noise_ops.awgn(jax.random.fold_in(k_noise_c, u), rx,
+                                    snr_db,
+                                    avg_sym_pow * agc.hk_vk_noise_scaler)
+                rx = rx / agc.hk_vk_agc_sc
+                rx_bits = receivers.standard_receive_sc(rx, m)
+                clean_errs.append(bits_ops.count_bit_errors(
+                    bits_c[u * n_bits_usr:(u + 1) * n_bits_usr],
+                    rx_bits[u * n_bits_usr:(u + 1) * n_bits_usr]))
+            clean_err = jnp.stack(clean_errs)
+        else:
+            clean_err = jnp.zeros((n_usr,), jnp.int32)
+
+        # --- distorted run ---
+        bits_d = jax.random.bernoulli(
+            k_bits_d, 0.5, (n_sc * bps,)).astype(jnp.int8)
+        fd_dist = transmit.array_transmit_fd(
+            bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+        dist_errs = []
+        for u in range(n_usr):
+            rx = channels.propagate(h_usr[u], fd_dist_sc)
+            rx = noise_ops.awgn(jax.random.fold_in(k_noise_d, u), rx, snr_db,
+                                avg_sym_pow * agc.ak_hk_vk_noise_scaler)
+            rx_sc = rx / agc.ak_hk_vk_agc_sc
+            replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
+                                                 pa_model)
+            bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
+            dist_errs.append(bits_ops.count_bit_errors(
+                bits_d[u * n_bits_usr:(u + 1) * n_bits_usr],
+                bits_all[:, u * n_bits_usr:(u + 1) * n_bits_usr], axis=-1))
+        return MuFrameCounters(clean_err=clean_err,
+                               dist_err=jnp.stack(dist_errs))
+
+    return frame_fn
+
+
 def make_mu_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
                      user_positions: np.ndarray | None = None, *,
                      incl_clean: bool = True, reroll: bool = True,
-                     dtype=jnp.complex64):
+                     sep_carriers: bool = False, dtype=jnp.complex64):
     """Jitted MU Monte-Carlo round summed over ``batch`` frames."""
     if user_positions is None:
         user_positions = default_user_positions()
-    frame_fn = make_mu_frame_fn(cfg, n_iters, user_positions,
-                                incl_clean=incl_clean, reroll=reroll,
-                                dtype=dtype)
+    builder = make_mu_sep_frame_fn if sep_carriers else make_mu_frame_fn
+    frame_fn = builder(cfg, n_iters, user_positions,
+                       incl_clean=incl_clean, reroll=reroll, dtype=dtype)
     tx_pos = link_static(cfg, dtype)[0]
 
     @jax.jit

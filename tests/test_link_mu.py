@@ -67,3 +67,39 @@ def test_mu_determinism():
     c1 = rf(jax.random.key(3), 15.0)
     c2 = rf(jax.random.key(3), 15.0)
     np.testing.assert_array_equal(np.asarray(c1.dist_err), np.asarray(c2.dist_err))
+
+
+def test_sep_carrier_mu_link():
+    """Separate-subcarrier allocation removes inter-user interference
+    entirely in the clean run (each user owns its block), so clean BER
+    should be near the single-user level for both users
+    (``main_multiuser_cnc_sep_sc_ber_vs_ebn0.py`` behavior)."""
+    from mimo_ofdm_tpu.models.link_mu import (default_user_positions,
+                                              make_mu_round_fn)
+    cfg = mu_cfg()
+    # equal distances: the composed-MRT AGC has a single noise scaler, so
+    # unequal path losses shift per-user SNR (faithful to the reference)
+    pos = default_user_positions(distances=(150.0, 150.0))
+    rf = make_mu_round_fn(cfg, 2, 16, user_positions=pos, sep_carriers=True)
+    c = rf(jax.random.key(0), 20.0)
+    n_bits_usr = 16 * cfg.modem.n_bits_per_ofdm_sym // 2
+    clean = np.asarray(c.clean_err) / n_bits_usr
+    dist = np.asarray(c.dist_err) / n_bits_usr
+    assert c.dist_err.shape == (2, 3)
+    # with own subcarrier blocks there is no inter-user interference:
+    # both users decode cleanly; distortion makes it worse
+    assert np.all(clean < 0.02)
+    assert np.all(dist[:, 0] > clean)
+
+
+def test_n_user_mu_link_generalizes():
+    """Plain per-user CNC works for more than 2 users."""
+    from mimo_ofdm_tpu.models.link_mu import (make_mu_round_fn,
+                                              spread_user_positions)
+    cfg = mu_cfg(prec="zf")
+    pos = spread_user_positions(4, distance=150.0)
+    rf = make_mu_round_fn(cfg, 1, 8, user_positions=pos)
+    c = rf(jax.random.key(1), 18.0)
+    assert c.clean_err.shape == (4,)
+    assert c.dist_err.shape == (4, 2)
+    assert np.all(np.asarray(c.dist_err) >= 0)
