@@ -302,7 +302,8 @@ def ldpc_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
 def multiuser_ber(precoding="mrt", algorithm="cnc", n_ant=64, ibo_db=0.0,
                   n_iters=8, ebn0_min=5.0, ebn0_max=20.0, ebn0_step=2.0,
                   n_err_min=100_000, bits_sent_max=10_000_000, batch=16,
-                  seed=0, save_csv=True, verbose=True, small=False):
+                  seed=0, save_csv=True, verbose=True, small=False,
+                  sep_carriers=False):
     """Per-user BER vs Eb/N0 for the canonical 2-user geometry
     (``reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py``).
     ``algorithm``: cnc | cnc_mu (CNCWI) | mcnc_mu (MCNCWI)."""
@@ -316,7 +317,7 @@ def multiuser_ber(precoding="mrt", algorithm="cnc", n_ant=64, ibo_db=0.0,
                      rx=RxConfig(algorithm=algorithm))
     ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
     snrs = ebn0_to_snr(ebn0, modem.n_sub_carr, modem.n_sub_carr, modem.constel_size)
-    round_fn = make_mu_round_fn(cfg, n_iters, batch)
+    round_fn = make_mu_round_fn(cfg, n_iters, batch, sep_carriers=sep_carriers)
     n_bits_frame = modem.n_bits_per_ofdm_sym
 
     n_usr = 2
