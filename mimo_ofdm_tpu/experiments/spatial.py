@@ -223,6 +223,74 @@ def mu_beampattern(n_ant=64, ibo_db=0.0, usr_angles_deg=(-30.0, 30.0),
     return angles, np.asarray(d_pow), np.asarray(e_pow), pred
 
 
+@register("channel_corr")
+def channel_corr(channels=("los", "two_path", "rayleigh"),
+                 n_ant_values=(2, 4, 8, 16, 32, 64, 128),
+                 main_usr_angle_deg=45.0, main_user_dist=300.0, n_points=180,
+                 seed=0, save_csv=True, verbose=True, small=False):
+    """Channel-matrix correlation coefficient vs angle per antenna count and
+    channel model
+    (``reference/main_multiuser/multiuser_channel_mat_correlation.py``)."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import channel_mat_correlation_scan
+
+    out = {}
+    for chan in channels:
+        rows = []
+        for n_ant in n_ant_values:
+            cfg = _cfg(n_ant, 0.0, chan=chan, small=small)
+            angles, corr = channel_mat_correlation_scan(
+                cfg, jax.random.key(seed),
+                main_usr_angle_deg=main_usr_angle_deg,
+                main_user_dist=main_user_dist, n_points=n_points)
+            rows.append(np.asarray(corr))
+            if verbose:
+                print(f"{chan} n_ant={n_ant:3d}  corr@main="
+                      f"{rows[-1][int(round(n_points / 180 * main_usr_angle_deg))]:.3f}"
+                      f"  corr min={rows[-1].min():.3f}")
+        out[chan] = (angles, np.stack(rows))
+        if save_csv:
+            nant_str = "_".join(str(v) for v in n_ant_values)
+            results.save_to_csv(
+                [angles, *rows],
+                f"channel_mat_corr_coeff_{chan}_distance{int(main_user_dist)}"
+                f"_angle{int(main_usr_angle_deg)}_nant{nant_str}")
+    return out
+
+
+@register("spatial_corr")
+def spatial_corr(channels=("los", "two_path", "rayleigh"),
+                 n_ant_values=(2, 4, 8, 16, 32, 64),
+                 main_usr_angle_deg=45.0, main_user_dist=300.0, n_points=36,
+                 seed=0, save_csv=True, verbose=True, small=False):
+    """MRT beampattern (spatial) correlation vs precoding angle
+    (``reference/main_multiuser/multiuser_channel_spatial_correlation.py``)."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import spatial_correlation_scan
+
+    out = {}
+    for chan in channels:
+        rows = []
+        for n_ant in n_ant_values:
+            cfg = _cfg(n_ant, 0.0, chan=chan, small=small)
+            angles, corr = spatial_correlation_scan(
+                cfg, jax.random.key(seed),
+                main_usr_angle_deg=main_usr_angle_deg,
+                main_user_dist=main_user_dist, n_points=n_points)
+            rows.append(np.asarray(corr))
+            if verbose:
+                print(f"{chan} n_ant={n_ant:3d}  spatial corr min="
+                      f"{rows[-1].min():.3f}")
+        out[chan] = (angles, np.stack(rows))
+        if save_csv:
+            nant_str = "_".join(str(v) for v in n_ant_values)
+            results.save_to_csv(
+                [angles, *rows],
+                f"channel_spatial_corr_coeff_{chan}_distance{int(main_user_dist)}"
+                f"_angle{int(main_usr_angle_deg)}_nant{nant_str}")
+    return out
+
+
 @register("psd_eval")
 def psd_eval(n_ant=64, ibo_db=0.0, n_snapshots=32, psd_nfft=128,
              n_samp_per_seg=64, seed=0, save_csv=True, verbose=True,

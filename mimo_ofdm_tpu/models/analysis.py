@@ -198,6 +198,151 @@ def mu_sinr_sdr(cfg: LinkConfig, key: Array, user_positions, *,
     return sdr, sinr
 
 
+def _point_channel(model: str, key: Array, tx_pos: Array, rx_pos: Array,
+                   freqs: Array, dtype=jnp.complex64) -> Array:
+    """Channel matrix at one evaluation point for the spatial scans
+    (the per-point ``calc_channel_mat``/``reroll_channel_coeffs`` switch of
+    ``reference/main_multiuser/multiuser_channel_mat_correlation.py:95-105``)."""
+    if model == "los":
+        return channels.los_channel(tx_pos, rx_pos, freqs, dtype=dtype)
+    if model == "two_path":
+        return channels.two_path_channel(tx_pos, rx_pos, freqs, dtype=dtype)
+    if model == "rayleigh":
+        return channels.rayleigh_channel(key, tx_pos, rx_pos, freqs, dtype=dtype)
+    raise ValueError(f"unsupported channel model for spatial scan: {model}")
+
+
+def channel_correlation(h_ref: Array, h_test: Array) -> Array:
+    """Correlation coefficient between two MISO channel matrices
+    ``[..., n_ant, n_bins]``:
+
+    ``trace(|H_ref^T conj(H_test)|) / sqrt(||H_ref||_F^2 ||H_test||_F^2)``
+    (``reference/main_multiuser/multiuser_channel_mat_correlation.py:108-112``)
+    — computed directly as the per-bin antenna inner product instead of the
+    reference's dense ``[n_bins, n_bins]`` matmul (only the diagonal is
+    traced, so the off-diagonal FLOPs are dead work)."""
+    nomin = jnp.sum(jnp.abs(jnp.sum(h_ref * jnp.conj(h_test), axis=-2)),
+                    axis=-1)
+    denom = jnp.sqrt(jnp.sum(jnp.abs(h_ref) ** 2, axis=(-2, -1))
+                     * jnp.sum(jnp.abs(h_test) ** 2, axis=(-2, -1)))
+    return nomin / denom
+
+
+def channel_mat_correlation_scan(cfg: LinkConfig, key: Array, *,
+                                 main_usr_angle_deg: float = 45.0,
+                                 main_user_dist: float = 300.0,
+                                 n_points: int = 180, point_chunk: int = 32,
+                                 dtype=jnp.complex64):
+    """Channel-matrix correlation vs angle: correlate the channel of the
+    main user (at ``main_usr_angle_deg`` on a semicircle of radius
+    ``main_user_dist``) against the channel at every semicircle point
+    (``reference/main_multiuser/multiuser_channel_mat_correlation.py``).
+    The sharper the decorrelation around the main angle, the better the
+    array separates users spatially. Returns ``(angles_deg [n_points+1],
+    corr [n_points+1])``.
+
+    For stochastic channels every off-main point is an independent fade
+    draw while the main point reuses the main user's matrix exactly (the
+    reference's ``isclose`` position check, ``:101-105``)."""
+    model = cfg.channel.model
+    tx_pos, freqs, _ = link_static(cfg, dtype)
+    pts2d = geometry.pts_on_semicircum(main_user_dist, n_points)
+    pts = np.concatenate([pts2d, np.full((len(pts2d), 1), cfg.rx.cord_z)],
+                         axis=1)
+    angles_deg = np.linspace(0.0, 180.0, n_points + 1)
+    main_idx = int(round(n_points / 180.0 * main_usr_angle_deg))
+    main_pos = jnp.asarray(pts[main_idx], jnp.float32)
+
+    # One jit around the whole scan: complex intermediates (the channel
+    # matrices) must never round-trip to host on this TPU transport
+    # (eager complex construction/transfer is unsupported — see CLAUDE.md).
+    @jax.jit
+    def scan(key, pts_arr):
+        h_main = _point_channel(model, jax.random.fold_in(key, n_points + 1),
+                                tx_pos, main_pos, freqs, dtype)
+
+        def one_point(args):
+            idx, rx_pos = args
+            h = _point_channel(model, jax.random.fold_in(key, idx), tx_pos,
+                               rx_pos, freqs, dtype)
+            h = jnp.where(idx == main_idx, h_main, h)
+            return channel_correlation(h_main, h)
+
+        return jax.lax.map(one_point,
+                           (jnp.arange(n_points + 1), pts_arr),
+                           batch_size=point_chunk)
+
+    corr = scan(key, jnp.asarray(pts, jnp.float32))
+    return angles_deg, corr
+
+
+def spatial_correlation_scan(cfg: LinkConfig, key: Array, *,
+                             main_usr_angle_deg: float = 45.0,
+                             main_user_dist: float = 300.0,
+                             n_points: int = 36, dtype=jnp.complex64):
+    """Beampattern (spatial) correlation vs precoding angle
+    (``reference/main_multiuser/multiuser_channel_spatial_correlation.py``):
+    for every semicircle point, MRT-precode toward it, measure the *clean*
+    (undistorted) received power at all semicircle points, and correlate
+    that beampattern with the beampattern precoded toward the main user.
+    Returns ``(angles_deg [n_points+1], corr [n_points+1])``.
+
+    TPU-native formulation: the clean FD signal equals the precoded symbols
+    in the data bins (the IFFT→FFT round trip of the reference's
+    ``transmit``/``propagate`` chain is the identity), so the full
+    ``[n_angles, n_points]`` beampattern matrix is one einsum over
+    ``[P, n_ant, n_sc]`` channel and precoder stacks instead of the
+    reference's O(n_points^2) Python transmit loop."""
+    from mimo_ofdm_tpu.ops import qam
+
+    model = cfg.channel.model
+    m, n_sc = cfg.modem.constel_size, cfg.modem.n_sub_carr
+    tx_pos, freqs, _ = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    pts2d = geometry.pts_on_semicircum(main_user_dist, n_points)
+    pts = jnp.asarray(
+        np.concatenate([pts2d, np.full((len(pts2d), 1), cfg.rx.cord_z)],
+                       axis=1), jnp.float32)
+    angles_deg = np.linspace(0.0, 180.0, n_points + 1)
+    main_idx = int(round(n_points / 180.0 * main_usr_angle_deg))
+
+    # Single jit for the whole O(P^2) scan — complex intermediates stay
+    # on device (no eager complex ops / host transfers, see CLAUDE.md).
+    @jax.jit
+    def scan(key):
+        k_bits, k_chan = jax.random.split(key)
+        # same frame for every precoding angle (the reference resets its bit
+        # rng to the same seed per angle,
+        # multiuser_channel_spatial_correlation.py:109)
+        bits = jax.random.bernoulli(
+            k_bits, 0.5, (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+        sym = qam.modulate_bits(bits, m, dtype)
+
+        def beampattern_for(q):
+            """Clean beampattern [n_points+1] when precoding toward point q."""
+            kq = jax.random.fold_in(k_chan, q)
+            h_prec = _point_channel(model, jax.random.fold_in(kq, 0), tx_pos,
+                                    pts[q], freqs_sc, dtype)
+            v = precoding.mrt_precoder(h_prec)             # [n_ant, n_sc]
+            x = v * sym                                    # clean FD data bins
+
+            def meas(p):
+                h = _point_channel(model, jax.random.fold_in(kq, p + 1),
+                                   tx_pos, pts[p], freqs_sc, dtype)
+                h = jnp.where(p == q, h_prec, h)
+                return jnp.sum(jnp.abs(jnp.sum(h * x, axis=0)) ** 2)
+
+            return jax.vmap(meas)(jnp.arange(n_points + 1))
+
+        b = jax.lax.map(beampattern_for, jnp.arange(n_points + 1),
+                        batch_size=8)                      # [P, P]
+        b_main = b[main_idx]
+        return (b @ b_main) / (jnp.linalg.norm(b, axis=-1)
+                               * jnp.linalg.norm(b_main))
+
+    return angles_deg, scan(key)
+
+
 def sdr_at_point(cfg: LinkConfig, key: Array, rx_pos, n_snapshots: int = 16,
                  dtype=jnp.complex64) -> Array:
     """Signal-to-distortion ratio at one RX point (summed combine),

@@ -123,3 +123,83 @@ def test_evm_decreases_with_ibo():
     assert evm[0] > evm[1] > evm[2]
     assert evm[0] > 0.1          # heavy clipping at IBO 0
     assert evm[2] < 0.02         # nearly linear at IBO 8
+
+
+def test_channel_mat_correlation_los_peak_and_narrowing():
+    """LOS channel correlation peaks (=1) at the main user angle and
+    decorrelates faster with more antennas
+    (reference/main_multiuser/multiuser_channel_mat_correlation.py)."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import channel_mat_correlation_scan
+
+    n_points = 36
+    corr_by_nant = {}
+    for n_ant in (2, 16):
+        cfg = small_cfg(n_ant=n_ant)
+        angles, corr = channel_mat_correlation_scan(
+            cfg, jax.random.key(0), main_usr_angle_deg=45.0,
+            main_user_dist=300.0, n_points=n_points)
+        corr = np.asarray(corr)
+        main_idx = int(round(n_points / 180 * 45.0))
+        assert corr[main_idx] == pytest.approx(1.0, abs=1e-5)
+        assert corr.argmax() == main_idx
+        assert np.all(corr <= 1.0 + 1e-5) and np.all(corr >= 0.0)
+        corr_by_nant[n_ant] = corr
+    # larger arrays decorrelate faster away from the precoding angle
+    off = int(round(n_points / 180 * 90.0))
+    assert corr_by_nant[16][off] < corr_by_nant[2][off]
+
+
+def test_channel_mat_correlation_rayleigh_low_off_main():
+    """Rayleigh: independent fades -> low correlation except at the main
+    point (which reuses the exact main-user matrix -> corr 1)."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import channel_mat_correlation_scan
+
+    cfg = small_cfg(n_ant=16)
+    cfg = cfg.replace(channel=cfg.channel.__class__(model="rayleigh"))
+    n_points = 18
+    _, corr = channel_mat_correlation_scan(
+        cfg, jax.random.key(3), main_usr_angle_deg=40.0,
+        main_user_dist=300.0, n_points=n_points)
+    corr = np.asarray(corr)
+    main_idx = int(round(n_points / 180 * 40.0))
+    assert corr[main_idx] == pytest.approx(1.0, abs=1e-5)
+    others = np.delete(corr, main_idx)
+    assert np.all(others < 0.6)
+
+
+def test_spatial_correlation_los():
+    """Beampattern correlation is 1 at the main precoding angle and decays
+    away from it
+    (reference/main_multiuser/multiuser_channel_spatial_correlation.py)."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import spatial_correlation_scan
+
+    cfg = small_cfg(n_ant=16)
+    n_points = 18
+    angles, corr = spatial_correlation_scan(
+        cfg, jax.random.key(0), main_usr_angle_deg=40.0,
+        main_user_dist=300.0, n_points=n_points)
+    corr = np.asarray(corr)
+    main_idx = int(round(n_points / 180 * 40.0))
+    assert corr[main_idx] == pytest.approx(1.0, abs=1e-5)
+    assert corr.argmax() == main_idx
+    # beampatterns are positive vectors -> corr in (0, 1]
+    assert np.all(corr > 0.0) and np.all(corr <= 1.0 + 1e-5)
+    # far-away precoding angles give beampatterns less aligned than neighbors
+    assert corr[main_idx - 1] > corr.min()
+
+
+def test_channel_corr_experiment_runs():
+    from mimo_ofdm_tpu.experiments import EXPERIMENTS
+    out = EXPERIMENTS["channel_corr"](channels=("los",), n_ant_values=(4, 8),
+                                      n_points=18, small=True,
+                                      save_csv=False, verbose=False)
+    angles, mat = out["los"]
+    assert mat.shape == (2, 19) and angles.shape == (19,)
+    out2 = EXPERIMENTS["spatial_corr"](channels=("los",), n_ant_values=(4,),
+                                       n_points=12, small=True,
+                                       save_csv=False, verbose=False)
+    angles2, mat2 = out2["los"]
+    assert mat2.shape == (1, 13) and angles2.shape == (13,)
