@@ -298,6 +298,82 @@ def ldpc_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
     return res
 
 
+@register("transport_coded_ber")
+def transport_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
+                        n_iters=8, code_rate=0.5, n_blocks=4, rv=0,
+                        ldpc_iters=25, ebn0_min=5.0, ebn0_max=15.0,
+                        ebn0_step=1.0, n_err_min=10_000,
+                        bits_sent_max=5_000_000, batch=16, seed=0,
+                        save_csv=True, verbose=True, small=False):
+    """Coded BER + BLER vs Eb/N0 with the full transport chain — CRC24A,
+    code-block segmentation (+CRC24B), QC-LDPC and circular-buffer rate
+    matching — and CNC/MCNC inside the decoding loop (the complete native
+    equivalent of ``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py``'s
+    MATLAB DL-SCH pipeline)."""
+    import time
+    import jax
+    from mimo_ofdm_tpu.models.link_ldpc import (make_transport_round_fn,
+                                                transport_chain_for_modem)
+    modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
+                        n_sub_carr=128 if small else 2048,
+                        cp_len=16 if small else 128)
+    cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=n_ant),
+                     channel=ChannelConfig(model=channel), precoding="mrt",
+                     pa=PaConfig(model="softlim", ibo_db=ibo_db),
+                     rx=RxConfig(algorithm=algorithm))
+    chain = transport_chain_for_modem(cfg, code_rate=code_rate,
+                                      n_blocks=n_blocks, rv=rv)
+    if verbose:
+        print(f"transport chain: A={chain.a} C={chain.c} K'={chain.k_prime} "
+              f"filler={chain.n_filler} E_cb={chain.e_cb} "
+              f"rate={chain.coded_rate:.3f}")
+    round_fn = make_transport_round_fn(cfg, n_iters, batch, chain,
+                                       ldpc_iters=ldpc_iters)
+    ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
+    snrs = ebn0_to_snr(ebn0, modem.n_sub_carr, modem.n_sub_carr,
+                       modem.constel_size)
+    n_counters = n_iters + 2
+    ber = np.zeros((n_counters, len(ebn0)))
+    bler = np.zeros((n_counters, len(ebn0)))
+    for i, snr in enumerate(snrs):
+        key = jax.random.fold_in(jax.random.key(seed), i)
+        errs = np.zeros(n_counters, np.int64)
+        blks = np.zeros(n_counters, np.int64)
+        bits = np.zeros(n_counters, np.int64)
+        frames = np.zeros(n_counters, np.int64)
+        rounds = 0
+        t0 = time.perf_counter()
+        while True:
+            active = (errs < n_err_min) & (bits < bits_sent_max)
+            if not active.any() or rounds >= 100_000:
+                break
+            c = round_fn(jax.random.fold_in(key, rounds), float(snr))
+            e = np.concatenate([np.atleast_1d(np.asarray(c.clean_err)),
+                                np.asarray(c.dist_err)]).astype(np.int64)
+            b = np.concatenate([np.atleast_1d(np.asarray(c.clean_blk)),
+                                np.asarray(c.dist_blk)]).astype(np.int64)
+            errs += np.where(active, e, 0)
+            blks += np.where(active, b, 0)
+            bits += np.where(active, batch * chain.a, 0)
+            frames += np.where(active, batch, 0)
+            rounds += 1
+        ber[:, i] = errs / np.maximum(bits, 1)
+        bler[:, i] = blks / np.maximum(frames, 1)
+        if verbose:
+            print(f"Eb/N0={ebn0[i]:5.1f}  rounds={rounds:4d} "
+                  f"({time.perf_counter() - t0:.1f}s)  coded BER="
+                  f"{np.array2string(ber[:, i], precision=4)}  BLER="
+                  f"{np.array2string(bler[:, i], precision=3)}")
+    if save_csv:
+        base = (f"transport_r{code_rate:.2f}_C{chain.c}_rv{rv}", algorithm,
+                channel, n_ant, ibo_db, ebn0, list(range(1, n_iters + 1)))
+        results.save_ber_sweep(ebn0, ber, results.ber_sweep_filename(*base))
+        results.save_ber_sweep(
+            ebn0, bler, results.ber_sweep_filename(base[0] + "_bler",
+                                                   *base[1:]))
+    return ebn0, ber, bler
+
+
 @register("multiuser_ber")
 def multiuser_ber(precoding="mrt", algorithm="cnc", n_ant=64, ibo_db=0.0,
                   n_iters=8, ebn0_min=5.0, ebn0_max=20.0, ebn0_step=2.0,

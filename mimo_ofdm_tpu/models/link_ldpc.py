@@ -129,6 +129,136 @@ def make_coded_frame_fn(cfg: LinkConfig, n_iters: int,
     return frame_fn
 
 
+def transport_chain_for_modem(cfg: LinkConfig, code_rate: float = 0.5,
+                              n_blocks: int = 4, rv: int = 0):
+    """Build a transport chain whose rate-matched output fills one OFDM
+    frame, sized so roughly ``n_blocks`` code blocks segment the transport
+    block (the reference sizes its transport block analogously from the
+    frame bit budget, ``mp_ldpc_model.py:99-104``)."""
+    from mimo_ofdm_tpu.ops import transport as tp
+    e_total = cfg.modem.n_bits_per_ofdm_sym
+    z = max(4, int(round(e_total * code_rate / n_blocks / 12)))
+    code = ldpc.make_default_code(k_b=12, m_b=12, z=z)
+    return tp.make_transport_chain(code, e_total=e_total,
+                                   target_rate=code_rate, rv=rv)
+
+
+class TransportFrameCounters(NamedTuple):
+    clean_err: Array    # scalar int32 — payload bit errors, clean run
+    clean_blk: Array    # scalar int32 — transport blocks in error (CRC fail)
+    dist_err: Array     # [n_iters + 1] int32 per CNC iteration tap
+    dist_blk: Array     # [n_iters + 1] int32 per CNC iteration tap
+
+
+def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
+                            chain, ldpc_iters: int = 25, *,
+                            incl_clean: bool = True, reroll: bool = True,
+                            dtype=jnp.complex64):
+    """Coded frame with the full transport chain — CRC24A attach, code-block
+    segmentation (+CRC24B), QC-LDPC encode per block and circular-buffer
+    rate matching filling the OFDM frame exactly — the native equivalent of
+    the reference's MATLAB DL-SCH pipeline
+    (``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:149-179``). Counts
+    payload bit errors and transport-block errors (via the TB CRC) per CNC
+    iteration tap."""
+    from mimo_ofdm_tpu.ops import transport as tp
+
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    ibo_db = cfg.pa.ibo_db
+    avg_sym_pow = cfg.modem.avg_symbol_power
+    avg_samp_pow = cfg.modem.avg_sample_power
+    pa_model = cfg.pa.model
+    assert chain.e_total == cfg.modem.n_bits_per_ofdm_sym
+
+    _, freqs, rx_base = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    channel_fn = make_channel_fn(cfg, freqs_sc, rx_base, reroll, dtype)
+    precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users)
+
+    def decode_count(sym, payload, snr_db):
+        nv = 2.0 * avg_sym_pow / (10.0 ** (snr_db / 10.0))
+        llr = qam.soft_llr(sym, m, nv)
+        rx, ok = tp.transport_decode(chain, -llr, n_iters=ldpc_iters)
+        bit_err = bits_ops.count_bit_errors(payload, rx)
+        blk_err = (~ok).astype(jnp.int32)
+        return bit_err, blk_err
+
+    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> TransportFrameCounters:
+        k_chan, k_info_c, k_info_d, k_noise_c, k_noise_d = jax.random.split(key, 5)
+
+        h_sc = channel_fn(k_chan, tx_pos)
+        v = precoder(h_sc)
+        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
+        agc = agc_mod.compute_agc_sc(h_sc, v, ibo_db, n_ant)
+
+        if incl_clean:
+            pay_c = jax.random.bernoulli(k_info_c, 0.5,
+                                         (chain.a,)).astype(jnp.int8)
+            coded_c = tp.transport_encode(chain, pay_c)
+            sym_c = qam.modulate_bits(coded_c, m, dtype)
+            tx_sc = transmit.precode_symbols(sym_c, v)
+            rx = channels.propagate(h_sc, tx_sc)
+            rx = noise_ops.awgn(k_noise_c, rx, snr_db,
+                                avg_sym_pow * agc.hk_vk_noise_scaler)
+            rx = rx / agc.hk_vk_agc_sc
+            clean_err, clean_blk = decode_count(rx, pay_c, snr_db)
+        else:
+            clean_err = jnp.zeros((), jnp.int32)
+            clean_blk = jnp.zeros((), jnp.int32)
+
+        pay_d = jax.random.bernoulli(k_info_d, 0.5, (chain.a,)).astype(jnp.int8)
+        coded_d = tp.transport_encode(chain, pay_d)
+        fd_dist = transmit.array_transmit_fd(
+            coded_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+        rx_d = channels.propagate(h_sc, fd_dist_sc)
+        rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
+                              avg_sym_pow * agc.ak_hk_vk_noise_scaler)
+        rx_sc = rx_d / agc.ak_hk_vk_agc_sc
+
+        if cfg.rx.algorithm == "mcnc":
+            replica = receivers.make_mcnc_replica(
+                h_sc, v, agc.ak_hk_vk_agc_sc, constel_size=m, n_fft=n_fft,
+                n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
+                rapp_p=cfg.pa.rapp_p_hardness)
+        else:
+            replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
+                                                 pa_model)
+        corr_all = receivers.cnc_iterate_soft(rx_sc, n_iters, m, replica)
+
+        dist_err, dist_blk = jax.lax.map(
+            lambda sym: decode_count(sym, pay_d, snr_db), corr_all)
+        return TransportFrameCounters(clean_err=clean_err, clean_blk=clean_blk,
+                                      dist_err=dist_err, dist_blk=dist_blk)
+
+    return frame_fn
+
+
+def make_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
+                            chain, ldpc_iters: int = 25, *,
+                            incl_clean: bool = True, reroll: bool = True,
+                            dtype=jnp.complex64):
+    """Jitted transport-coded Monte-Carlo round summed over ``batch``
+    frames."""
+    frame_fn = make_transport_frame_fn(cfg, n_iters, chain, ldpc_iters,
+                                       incl_clean=incl_clean, reroll=reroll,
+                                       dtype=dtype)
+    tx_pos = link_static(cfg, dtype)[0]
+
+    @jax.jit
+    def round_fn(key: Array, snr_db: Array) -> TransportFrameCounters:
+        keys = jax.random.split(key, batch)
+        counters = jax.vmap(frame_fn, in_axes=(0, None, None))(keys, snr_db,
+                                                               tx_pos)
+        return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
+                            counters)
+
+    return round_fn
+
+
 def make_coded_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
                         code: ldpc.QcLdpcCode | None = None,
                         ldpc_iters: int = 25, *, incl_clean: bool = True,

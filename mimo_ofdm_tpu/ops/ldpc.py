@@ -177,10 +177,11 @@ def _decode_tables(code: QcLdpcCode):
             if chk_mask[ci, s_]:
                 edge_pos[edge_id[ci, s_]] = ci * dc_max + s_
 
-    return (jnp.asarray(chk_var_idx), jnp.asarray(chk_mask),
-            jnp.asarray(edge_id), jnp.asarray(var_edge_idx),
-            jnp.asarray(var_mask), jnp.asarray(edge_var),
-            jnp.asarray(edge_pos), n_edges)
+    # NOTE: return numpy, not jnp — this cache is shared across jit traces,
+    # and a jnp constant materialized inside one trace leaks (tracer) into
+    # the next trace that hits the cache.
+    return (chk_var_idx, chk_mask, edge_id, var_edge_idx, var_mask,
+            edge_var, edge_pos, n_edges)
 
 
 def decode(code: QcLdpcCode, llr: Array, n_iters: int = 25,

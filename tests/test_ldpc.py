@@ -82,3 +82,42 @@ def test_coded_link_clean_and_cnc():
     assert int(c.clean_err) == 0                     # coded clean decodes
     dist = np.asarray(c.dist_err) / kbits
     assert dist[3] < dist[0]                         # CNC helps coded BER
+
+
+def test_transport_coded_link_clean_and_cnc():
+    """Full transport chain (CRC + segmentation + rate matching) through the
+    distorted link with CNC taps (native DL-SCH pipeline,
+    reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:149-179)."""
+    from mimo_ofdm_tpu.models.link_ldpc import (make_transport_round_fn,
+                                                transport_chain_for_modem)
+    cfg = LinkConfig(
+        modem=ModemConfig(constel_size=64, n_fft=256, n_sub_carr=128, cp_len=16),
+        array=ArrayConfig(n_elements=8),
+        channel=ChannelConfig(model="los"),
+        precoding="mrt",
+        pa=PaConfig(model="softlim", ibo_db=0.0),
+        rx=RxConfig(algorithm="cnc"),
+    )
+    chain = transport_chain_for_modem(cfg, code_rate=0.4, n_blocks=2)
+    assert chain.e_total == cfg.modem.n_bits_per_ofdm_sym
+    assert chain.c >= 2                                # segmentation active
+    rf = make_transport_round_fn(cfg, 3, 8, chain, ldpc_iters=25)
+    snr = float(ebn0_to_snr(14.0, 256, 128, 64))
+    c = rf(jax.random.key(0), snr)
+    assert int(c.clean_err) == 0 and int(c.clean_blk) == 0
+    dist = np.asarray(c.dist_err, np.float64) / (8 * chain.a)
+    assert dist[3] < dist[0]                           # CNC helps
+    # BLER counters consistent: a block with zero bit errors has CRC ok
+    blk = np.asarray(c.dist_blk)
+    assert np.all(blk[np.asarray(c.dist_err) == 0] == 0)
+    assert np.all(blk <= 8)
+
+
+def test_transport_coded_experiment_runs():
+    from mimo_ofdm_tpu.experiments import EXPERIMENTS
+    ebn0, ber, bler = EXPERIMENTS["transport_coded_ber"](
+        n_ant=8, n_iters=2, ebn0_min=12.0, ebn0_max=12.0, n_err_min=50,
+        bits_sent_max=20_000, batch=8, small=True, save_csv=False,
+        verbose=False)
+    assert ber.shape == (4, 1) and bler.shape == (4, 1)
+    assert np.all(ber <= 1.0) and np.all(bler <= 1.0)
