@@ -35,21 +35,26 @@ def main():
 
     import numpy as np
 
-    def run_once(k):
+    def consume(c):
         # fetch the counters to host: forces real device sync (the axon
         # backend's block_until_ready does not) and matches how the
         # Monte-Carlo driver consumes rounds
-        c = round_fn(k, snr)
         return int(np.asarray(c.clean_err)) + int(np.asarray(c.dist_err)[0])
 
     # compile + warmup
-    run_once(key)
+    consume(round_fn(key, snr))
+    # depth-2 pipelined rounds, matching parallel.montecarlo.run_point:
+    # round k's host fetch (tunnel round-trip) overlaps round k+1's compute
     t0 = time.perf_counter()
     n_rounds = 0
+    pending = round_fn(jax.random.fold_in(key, n_rounds), snr)
+    n_rounds += 1
     while time.perf_counter() - t0 < 10.0:
-        key = jax.random.fold_in(key, n_rounds)
-        run_once(key)
+        nxt = round_fn(jax.random.fold_in(key, n_rounds), snr)
         n_rounds += 1
+        consume(pending)
+        pending = nxt
+    consume(pending)
     dt = time.perf_counter() - t0
     frames_per_s = n_rounds * batch / dt
 

@@ -68,29 +68,51 @@ class SweepResult:
 
 def run_point(round_fn, key, snr_db: float, *, n_counters: int,
               n_bits_per_frame: int, batch: int, n_err_min: int,
-              bits_sent_max: int, max_rounds: int = 100_000) -> PointResult:
+              bits_sent_max: int, max_rounds: int = 100_000,
+              pipeline_depth: int = 2) -> PointResult:
     """Accumulate rounds until every counter hit a stop criterion.
 
     ``round_fn(key, snr_db) -> FrameCounters`` with int32 sums per counter.
     Counter 0 is the clean run; counters 1.. are CNC iterations 0..n_iters
     (matching the shared-array layout in ``reference/mp_model.py:132-134``).
+
+    Rounds are **pipelined**: up to ``pipeline_depth`` rounds are kept in
+    flight on the device, so the host-side fetch (a tunnel round-trip on
+    remote TPUs) and counter bookkeeping of round ``k`` overlap with the
+    device executing round ``k+1``. The stop check uses the counters
+    accumulated so far — the same cooperative staleness as the reference's
+    workers re-reading the shared arrays without the lock
+    (``reference/mp_model.py:177-187``): at most ``pipeline_depth - 1``
+    extra rounds are accumulated past the stop point.
     """
+    from collections import deque
+
     n_err = np.zeros(n_counters, np.int64)
     n_bits = np.zeros(n_counters, np.int64)
     t0 = time.perf_counter()
-    rounds = 0
-    while rounds < max_rounds:
-        active = (n_err < n_err_min) & (n_bits < bits_sent_max)
-        if not active.any():
+    launched = 0
+    in_flight: deque = deque()
+
+    def active_mask():
+        return (n_err < n_err_min) & (n_bits < bits_sent_max)
+
+    while True:
+        # keep the pipeline full (dispatch is async; no device sync here)
+        while (launched < max_rounds and len(in_flight) < pipeline_depth
+               and active_mask().any()):
+            rkey = jax.random.fold_in(key, launched)
+            in_flight.append((round_fn(rkey, snr_db), active_mask()))
+            launched += 1
+        if not in_flight:
             break
-        rkey = jax.random.fold_in(key, rounds)
-        counters = round_fn(rkey, snr_db)
+        counters, mask = in_flight.popleft()
+        # np.asarray is the real sync point (block_until_ready is a no-op
+        # on some transports)
         errs = np.concatenate([np.atleast_1d(np.asarray(counters.clean_err)),
                                np.asarray(counters.dist_err)]).astype(np.int64)
-        n_err += np.where(active, errs, 0)
-        n_bits += np.where(active, batch * n_bits_per_frame, 0)
-        rounds += 1
-    return PointResult(n_err=n_err, n_bits=n_bits, n_rounds=rounds,
+        n_err += np.where(mask, errs, 0)
+        n_bits += np.where(mask, batch * n_bits_per_frame, 0)
+    return PointResult(n_err=n_err, n_bits=n_bits, n_rounds=launched,
                        wall_time_s=time.perf_counter() - t0)
 
 
