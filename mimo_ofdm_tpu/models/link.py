@@ -207,7 +207,9 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         bits_d = jax.random.bernoulli(k_bits_d, 0.5, (n_bits,)).astype(jnp.int8)
         fd_dist = transmit.array_transmit_fd(
             bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
-            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
+            use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
         fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
         rx_d = channels.propagate(h_sc, fd_dist_sc, ant_axis_name=ant_axis_name)
         rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
@@ -217,7 +219,9 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         if cfg.rx.algorithm == "cnc":
             replica = receivers.make_cnc_replica(
                 m, n_fft, n_sc, ibo_db, pa_model,
-                alpha=alpha_override, rapp_p=cfg.pa.rapp_p_hardness)
+                alpha=alpha_override, rapp_p=cfg.pa.rapp_p_hardness,
+                use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
         elif cfg.rx.algorithm == "mcnc":
             # MCNC replica uses the *precoding* channel (noisy under CSI
@@ -226,7 +230,8 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
                 h_pre_sc, v, agc.ak_hk_vk_agc_sc, constel_size=m,
                 n_fft=n_fft, n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
                 rapp_p=cfg.pa.rapp_p_hardness, toi_coeff=toi_coeff,
-                ant_axis_name=ant_axis_name)
+                ant_axis_name=ant_axis_name, use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
         elif cfg.rx.algorithm == "none":
             one = receivers.standard_receive_sc(rx_sc, m)

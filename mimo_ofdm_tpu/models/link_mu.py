@@ -129,7 +129,9 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
         tx_sym = qam.modulate_bits(bits_d, m, dtype)        # [n_usr, n_sc]
         fd_dist = transmit.array_transmit_fd(
             bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
-            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
+            use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
         fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
 
         dist_errs = []
@@ -142,7 +144,9 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
             other = tx_sym[1 - u] if n_usr == 2 else None
             if algorithm == "cnc":
                 replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
-                                                     pa_model)
+                                                     pa_model,
+                                                     use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
             elif n_usr != 2:
                 raise ValueError(
                     "cnc_mu/mcnc_mu are 2-user prototypes, matching the "
@@ -150,12 +154,15 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
             elif algorithm == "cnc_mu":
                 replica = receivers.make_cnc_mu_replica(
                     other, constel_size=m, n_fft=n_fft, n_sc=n_sc,
-                    ibo_db=ibo_db, pa_model=pa_model)
+                    ibo_db=ibo_db, pa_model=pa_model,
+                    use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
             elif algorithm == "mcnc_mu":
                 replica = receivers.make_mcnc_mu_replica(
                     other, u, h_sc_usr[u], v, agc_usr[u].ak_hk_vk_agc_sc,
                     constel_size=m, n_fft=n_fft, n_sc=n_sc, pa_model=pa_model,
-                    sat_power=sat_pow)
+                    sat_power=sat_pow, use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
             else:
                 raise ValueError(f"unsupported MU rx algorithm {algorithm!r}")
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
@@ -245,7 +252,9 @@ def make_mu_sep_frame_fn(cfg: LinkConfig, n_iters: int,
             k_bits_d, 0.5, (n_sc * bps,)).astype(jnp.int8)
         fd_dist = transmit.array_transmit_fd(
             bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
-            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
+            use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
         fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
         dist_errs = []
         for u in range(n_usr):
@@ -254,7 +263,9 @@ def make_mu_sep_frame_fn(cfg: LinkConfig, n_iters: int,
                                 avg_sym_pow * agc.ak_hk_vk_noise_scaler)
             rx_sc = rx / agc.ak_hk_vk_agc_sc
             replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
-                                                 pa_model)
+                                                 pa_model,
+                                                 use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)
             dist_errs.append(bits_ops.count_bit_errors(
                 bits_d[u * n_bits_usr:(u + 1) * n_bits_usr],

@@ -106,7 +106,8 @@ def cnc_iterate_soft(rx_sc: Array, n_iters: int, constel_size: int,
 
 def make_cnc_replica(constel_size: int, n_fft: int, n_sc: int, ibo_db: float,
                      pa_model: str = "softlim", alpha: Array | float | None = None,
-                     rapp_p: float = 1.1, toi_db: float | None = None):
+                     rapp_p: float = 1.1, toi_db: float | None = None,
+                     use_mxu_fft: bool = False, mxu_storage: str = "float32"):
     """Replica of a single nominal PA at the receiver
     (``reference/corrector.py:87-110``): the CNC impairment's average
     sample power is ``avg_symbol_power / upsample_factor``
@@ -127,9 +128,10 @@ def make_cnc_replica(constel_size: int, n_fft: int, n_sc: int, ibo_db: float,
 
     def replica(det_sym: Array) -> Array:
         fd = ofdm.map_subcarriers(det_sym, n_fft)
-        td = ofdm.fd_to_td(fd)
-        clipped = pa.apply_pa(td, pa_model, sat, rapp_p, coeff)
-        est = ofdm.extract_subcarriers(ofdm.td_to_fd(clipped), n_sc)
+        fd_dist = transmit.ifft_pa_fft(fd, pa_model, sat, rapp_p, coeff,
+                                       use_mxu_fft=use_mxu_fft,
+                                       mxu_storage=mxu_storage)
+        est = ofdm.extract_subcarriers(fd_dist, n_sc)
         return est / jnp.asarray(a).astype(est.dtype)
 
     return replica
@@ -139,7 +141,8 @@ def make_mcnc_replica(h_sc: Array, v: Array, agc_corr_sc: Array, *,
                       constel_size: int, n_fft: int, n_sc: int,
                       pa_model: str = "softlim", sat_power: Array | float,
                       rapp_p: float = 1.1, toi_coeff: Array | float = 0.0,
-                      ant_axis_name: str | None = None):
+                      ant_axis_name: str | None = None,
+                      use_mxu_fft: bool = False, mxu_storage: str = "float32"):
     """Replica of the full TX array + channel + AGC
     (``reference/corrector.py:198-205``): detected symbols are re-precoded,
     re-clipped per antenna, propagated through the channel and divided by
@@ -155,9 +158,10 @@ def make_mcnc_replica(h_sc: Array, v: Array, agc_corr_sc: Array, *,
     def replica(det_sym: Array) -> Array:
         per_ant_sc = transmit.precode_symbols(det_sym, v)
         fd_clean = ofdm.map_subcarriers(per_ant_sc, n_fft)
-        td = ofdm.fd_to_td(fd_clean)
-        td_dist = transmit.pa_transfer(td, pa_model, sat_power, rapp_p, toi_coeff)
-        fd_dist_sc = ofdm.extract_subcarriers(ofdm.td_to_fd(td_dist), n_sc)
+        fd_dist = transmit.ifft_pa_fft(fd_clean, pa_model, sat_power, rapp_p,
+                                       toi_coeff, use_mxu_fft=use_mxu_fft,
+                                       mxu_storage=mxu_storage)
+        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
         rx = channels.propagate(h_sc, fd_dist_sc, ant_axis_name=ant_axis_name)
         return rx / agc_corr_sc
 
@@ -167,12 +171,14 @@ def make_mcnc_replica(h_sc: Array, v: Array, agc_corr_sc: Array, *,
 def make_cnc_mu_replica(other_usr_symbols: Array, *, constel_size: int,
                         n_fft: int, n_sc: int, ibo_db: float,
                         pa_model: str = "softlim", alpha: Array | float | None = None,
-                        rapp_p: float = 1.1):
+                        rapp_p: float = 1.1, use_mxu_fft: bool = False,
+                        mxu_storage: str = "float32"):
     """Two-user CNC replica with known other-user symbols
     (``CncMuReceiver.receive``, ``reference/corrector.py:288-345``):
     equal-power combine ``sqrt(2)/2 (own + other)`` before the clip."""
     base = make_cnc_replica(constel_size, n_fft, n_sc, ibo_db, pa_model,
-                            alpha, rapp_p)
+                            alpha, rapp_p, use_mxu_fft=use_mxu_fft,
+                            mxu_storage=mxu_storage)
     w = jnp.sqrt(2.0) / 2.0
 
     def replica(det_sym: Array) -> Array:
@@ -185,7 +191,9 @@ def make_cnc_mu_replica(other_usr_symbols: Array, *, constel_size: int,
 def make_mcnc_mu_replica(other_usr_symbols: Array, usr_idx: int, h_sc: Array,
                          v: Array, agc_corr_sc: Array, *, constel_size: int,
                          n_fft: int, n_sc: int, pa_model: str = "softlim",
-                         sat_power: Array | float, rapp_p: float = 1.1):
+                         sat_power: Array | float, rapp_p: float = 1.1,
+                         use_mxu_fft: bool = False,
+                         mxu_storage: str = "float32"):
     """Two-user MCNC replica (``McncMuReceiver.receive``,
     ``reference/corrector.py:405-451``): the replica transmit stacks the
     detected own-user symbols with the known other-user symbols in original
@@ -197,9 +205,11 @@ def make_mcnc_mu_replica(other_usr_symbols: Array, usr_idx: int, h_sc: Array,
         else:
             sym_mu = jnp.stack([other_usr_symbols, det_sym], axis=-2)
         per_ant_sc = transmit.precode_symbols(sym_mu, v, sum_users=True)
-        td = ofdm.fd_to_td(ofdm.map_subcarriers(per_ant_sc, n_fft))
-        td_dist = transmit.pa_transfer(td, pa_model, sat_power, rapp_p)
-        fd_dist_sc = ofdm.extract_subcarriers(ofdm.td_to_fd(td_dist), n_sc)
+        fd_clean = ofdm.map_subcarriers(per_ant_sc, n_fft)
+        fd_dist = transmit.ifft_pa_fft(fd_clean, pa_model, sat_power, rapp_p,
+                                       use_mxu_fft=use_mxu_fft,
+                                       mxu_storage=mxu_storage)
+        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
         return channels.propagate(h_sc, fd_dist_sc) / agc_corr_sc
 
     return replica

@@ -62,6 +62,31 @@ def bussgang_alpha(ibo_db: Array | float) -> Array:
     return 1.0 - jnp.exp(-gamma ** 2) + (jnp.sqrt(jnp.pi) * gamma / 2.0) * erfc(gamma)
 
 
+def apply_pa_planar(xr: Array, xi: Array, model: str,
+                    sat_power: Array | float = 1.0, p_hardness: float = 1.1,
+                    cubic_coeff: Array | float = 0.0) -> tuple[Array, Array]:
+    """Planar (split real/imag) variant of :func:`apply_pa` for the
+    MXU-matmul fused transform path — identical math, the common scale
+    factor applied to both planes. Computes in float32 regardless of the
+    storage dtype of the planes."""
+    pr = xr.astype(jnp.float32)
+    pi = xi.astype(jnp.float32)
+    pwr = pr * pr + pi * pi
+    if model == "softlim":
+        scale = jnp.where(pwr <= sat_power, 1.0,
+                          jnp.sqrt(sat_power / jnp.where(pwr > 0, pwr, 1.0)))
+    elif model == "rapp":
+        ratio2 = pwr / sat_power
+        scale = (1.0 + ratio2 ** p_hardness) ** (-1.0 / (2.0 * p_hardness))
+    elif model == "toi":
+        scale = 1.0 - cubic_coeff * pwr
+    elif model == "none":
+        return xr, xi
+    else:
+        raise ValueError(f"unknown PA model {model!r}")
+    return (pr * scale).astype(xr.dtype), (pi * scale).astype(xi.dtype)
+
+
 def apply_pa(x: Array, model: str, sat_power: Array | float = 1.0,
              p_hardness: float = 1.1, cubic_coeff: Array | float = 0.0) -> Array:
     """Dispatch by PA model name: ``"softlim" | "rapp" | "toi" | "none"``

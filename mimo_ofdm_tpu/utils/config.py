@@ -103,6 +103,14 @@ class LinkConfig:
     carrier_spacing: float = 15e3
     precoding: str = "mrt"        # mrt | phase | zf | none
     csi_epsilon: float = 0.0      # CSI error (reference/mp_model.py:264-284)
+    # Run the IFFT->PA->FFT core as fused MXU matmuls (ops/mxu_fft) instead
+    # of stock jnp.fft; auto-falls back when n_fft isn't square.
+    use_mxu_fft: bool = True
+    # Inter-stage plane storage for the MXU path: "float32" matches jnp.fft
+    # to f32 round-off; "bfloat16" halves HBM traffic (measured ~1.7x on
+    # the fused chain) at ~-40 dB quantization error — far below the PA
+    # distortion and thermal noise at every reference operating point.
+    mxu_fft_storage: str = "bfloat16"
 
     def replace(self, **kw) -> "LinkConfig":
         return dataclasses.replace(self, **kw)
