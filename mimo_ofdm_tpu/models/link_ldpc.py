@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -103,7 +104,9 @@ def make_coded_frame_fn(cfg: LinkConfig, n_iters: int,
         coded_d = ldpc.encode(code, info_d)
         fd_dist = transmit.array_transmit_fd(
             coded_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
-            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
+            use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
         fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
         rx_d = channels.propagate(h_sc, fd_dist_sc)
         rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
@@ -114,10 +117,13 @@ def make_coded_frame_fn(cfg: LinkConfig, n_iters: int,
             replica = receivers.make_mcnc_replica(
                 h_sc, v, agc.ak_hk_vk_agc_sc, constel_size=m, n_fft=n_fft,
                 n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
-                rapp_p=cfg.pa.rapp_p_hardness)
+                rapp_p=cfg.pa.rapp_p_hardness, use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
         else:
             replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
-                                                 pa_model)
+                                                 pa_model,
+                                                 use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
         corr_all = receivers.cnc_iterate_soft(rx_sc, n_iters, m, replica)
 
         def per_tap(sym):
@@ -129,14 +135,36 @@ def make_coded_frame_fn(cfg: LinkConfig, n_iters: int,
     return frame_fn
 
 
+def select_base_graph(a: int, rate: float) -> int:
+    """38.212 §7.2.2 base-graph selection: BG2 for small/low-rate blocks,
+    BG1 otherwise (mirrors ``nrDLSCHInfo``'s bgn,
+    ``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:104``)."""
+    if a <= 292 or rate <= 0.25 or (a <= 3824 and rate <= 0.67):
+        return 2
+    return 1
+
+
 def transport_chain_for_modem(cfg: LinkConfig, code_rate: float = 0.5,
-                              n_blocks: int = 4, rv: int = 0):
+                              n_blocks: int = 4, rv: int = 0,
+                              family: str = "nr", bg: int | None = None):
     """Build a transport chain whose rate-matched output fills one OFDM
-    frame, sized so roughly ``n_blocks`` code blocks segment the transport
-    block (the reference sizes its transport block analogously from the
-    frame bit budget, ``mp_ldpc_model.py:99-104``)."""
+    frame (the reference sizes its transport block from the frame bit
+    budget, ``mp_ldpc_model.py:99-104``).
+
+    ``family="nr"`` (default): 5G-NR LDPC per TS 38.212 — base graph
+    selected by §7.2.2 (override with ``bg``), Kcb segmentation, lifting-
+    set Zc selection, 2Zc puncturing and rv k0 offsets
+    (:mod:`mimo_ofdm_tpu.ops.nr_ldpc`). ``family="ira"``: the
+    self-contained accumulator QC code sized so roughly ``n_blocks`` code
+    blocks segment the transport block."""
     from mimo_ofdm_tpu.ops import transport as tp
     e_total = cfg.modem.n_bits_per_ofdm_sym
+    if family == "nr":
+        if bg is None:
+            a_est = int(np.floor(code_rate * e_total)) - 24
+            bg = select_base_graph(a_est, code_rate)
+        return tp.make_nr_transport_chain(e_total, bg=bg,
+                                          target_rate=code_rate, rv=rv)
     z = max(4, int(round(e_total * code_rate / n_blocks / 12)))
     code = ldpc.make_default_code(k_b=12, m_b=12, z=z)
     return tp.make_transport_chain(code, e_total=e_total,
@@ -212,7 +240,9 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
         coded_d = tp.transport_encode(chain, pay_d)
         fd_dist = transmit.array_transmit_fd(
             coded_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
-            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness, dtype=dtype)
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
+            use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
         fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
         rx_d = channels.propagate(h_sc, fd_dist_sc)
         rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
@@ -223,10 +253,13 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
             replica = receivers.make_mcnc_replica(
                 h_sc, v, agc.ak_hk_vk_agc_sc, constel_size=m, n_fft=n_fft,
                 n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
-                rapp_p=cfg.pa.rapp_p_hardness)
+                rapp_p=cfg.pa.rapp_p_hardness, use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
         else:
             replica = receivers.make_cnc_replica(m, n_fft, n_sc, ibo_db,
-                                                 pa_model)
+                                                 pa_model,
+                                                 use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
         corr_all = receivers.cnc_iterate_soft(rx_sc, n_iters, m, replica)
 
         dist_err, dist_blk = jax.lax.map(

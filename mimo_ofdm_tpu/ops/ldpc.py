@@ -37,6 +37,9 @@ class QcLdpcCode:
     accumulator chain structure."""
     base: tuple            # [m_b][n_b] ints, hashable nested tuple
     z: int
+    # "ira" = accumulator parity chain (encode via prefix-XOR, below);
+    # "nr_bg1"/"nr_bg2" = 38.212 parity core (encode via ops.nr_ldpc)
+    kind: str = "ira"
 
     @property
     def m_b(self) -> int:

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from mimo_ofdm_tpu.ops import ldpc
+from mimo_ofdm_tpu.ops import ldpc, nr_ldpc
 
 # 3GPP TS 38.212 §5.1 generator polynomials (MSB-first, degree bit implicit)
 CRC24A = (24, 0x864CFB)
@@ -87,7 +87,8 @@ def crc_ok(bits_with_crc: Array, kind=CRC24A) -> Array:
 def _rv_start(rv: int, buf_len: int, z: int) -> int:
     """Redundancy-version start offset in the circular buffer, aligned to
     the lifting size (the 38.212 k0 pattern: rv0..rv3 at ~0, 1/4, 1/2,
-    3/4 of the buffer)."""
+    3/4 of the buffer). IRA codes only; NR codes use the exact
+    Table 5.4.2.1-2 offsets (:func:`mimo_ofdm_tpu.ops.nr_ldpc.rv_k0`)."""
     frac = {0: 0.0, 1: 0.25, 2: 0.5, 3: 0.75}[rv]
     return (int(frac * buf_len) // z) * z
 
@@ -176,6 +177,20 @@ def _rm_tables(chain: TransportChain):
     filler = np.zeros(n, bool)
     if chain.n_filler:
         filler[chain.k_prime: code.k] = True
+    if code.kind.startswith("nr"):
+        # NR circular buffer: first 2 Zc systematic bits are never
+        # transmitted (38.212 section 5.4.2.1), k0 per Table 5.4.2.1-2
+        bg = int(code.kind[-1])
+        n_punct = 2 * z
+        n_cb = n - n_punct
+        usable = np.flatnonzero(~filler)
+        usable = usable[usable >= n_punct]
+        start = n_punct + nr_ldpc.rv_k0(bg, chain.rv, n_cb, z)
+        first = int(np.searchsorted(usable, start))
+        order = np.concatenate([usable[first:], usable[:first]])
+        reps = int(np.ceil(chain.e_cb / len(order)))
+        sel = np.tile(order, reps)[: chain.e_cb].astype(np.int32)
+        return sel, filler
     usable = np.flatnonzero(~filler)
     start = _rv_start(chain.rv, n, z)
     # rotate usable positions so selection starts at the first usable
@@ -205,7 +220,10 @@ def transport_encode(chain: TransportChain, payload: Array) -> Array:
     if chain.n_filler:
         fill = jnp.zeros((*lead, chain.c, chain.n_filler), cbs.dtype)
         cbs = jnp.concatenate([cbs, fill], axis=-1)        # [..., C, K]
-    coded = ldpc.encode(code, cbs)                         # [..., C, N]
+    if code.kind.startswith("nr"):
+        coded = nr_ldpc.encode(code, cbs)                  # [..., C, N]
+    else:
+        coded = ldpc.encode(code, cbs)                     # [..., C, N]
     sel, _ = _rm_tables(chain)
     rm = coded[..., sel]                                   # [..., C, E_cb]
     return rm.reshape(*lead, chain.e_total)
@@ -230,3 +248,57 @@ def transport_decode(chain: TransportChain, llr: Array,
     tb = info.reshape(*lead, -1)                           # [..., B]
     ok = crc_ok(tb, CRC24A)
     return tb[..., : chain.a], ok
+
+
+def make_nr_transport_chain(e_total: int, *, bg: int = 1,
+                            target_rate: float | None = None,
+                            a: int | None = None, rv: int = 0) -> TransportChain:
+    """NR DL-SCH sizing (TS 38.212 section 5.2.2, mirroring
+    ``nrDLSCHInfo``, ``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:104``):
+    segment against ``Kcb`` (8448 BG1 / 3840 BG2), pick ``Zc`` from the 8
+    lifting sets via ``Kb Zc >= K'`` (BG2's Kb shrinking with payload),
+    fill ``K - K'`` filler bits, rate-match into ``e_total`` bits.
+
+    As in :func:`make_transport_chain`, equal-size code blocks are assumed
+    (``C | B'`` and ``C | E``); auto mode searches downward from the
+    target payload for a feasible size."""
+    auto = a is None
+    if auto:
+        if target_rate is None:
+            raise ValueError("give a or target_rate")
+        a = int(np.floor(target_rate * e_total)) - 24
+
+    def plan(a):
+        b = a + 24
+        kcb = KCB_NR[bg]
+        if b <= kcb:
+            c, l_cb = 1, 0
+        else:
+            l_cb = 24
+            c = int(np.ceil(b / (kcb - l_cb)))
+        b_prime = b + c * l_cb
+        if b_prime % c or e_total % c:
+            return None
+        k_prime = b_prime // c
+        _, i_ls, zc = nr_ldpc.select_lifting(bg, k_prime, b)
+        code = nr_ldpc.make_nr_code(bg, zc, i_ls)
+        if k_prime > code.k:
+            return None
+        return TransportChain(code=code, a=a, e_total=e_total, c=c,
+                              k_prime=k_prime, n_filler=code.k - k_prime,
+                              rv=rv)
+
+    if not auto:
+        chain = plan(a)
+        if chain is None:
+            raise ValueError(f"a={a} infeasible for e_total={e_total} (BG{bg})")
+        return chain
+    for cand in range(a, max(a - 4096, 0), -1):
+        chain = plan(cand)
+        if chain is not None:
+            return chain
+    raise ValueError(f"no feasible NR transport size near a={a} for "
+                     f"e_total={e_total} (BG{bg})")
+
+
+KCB_NR = nr_ldpc.KCB

@@ -98,7 +98,8 @@ def test_transport_coded_link_clean_and_cnc():
         pa=PaConfig(model="softlim", ibo_db=0.0),
         rx=RxConfig(algorithm="cnc"),
     )
-    chain = transport_chain_for_modem(cfg, code_rate=0.4, n_blocks=2)
+    chain = transport_chain_for_modem(cfg, code_rate=0.4, n_blocks=2,
+                                      family="ira")
     assert chain.e_total == cfg.modem.n_bits_per_ofdm_sym
     assert chain.c >= 2                                # segmentation active
     rf = make_transport_round_fn(cfg, 3, 8, chain, ldpc_iters=25)
@@ -121,3 +122,33 @@ def test_transport_coded_experiment_runs():
         verbose=False)
     assert ber.shape == (4, 1) and bler.shape == (4, 1)
     assert np.all(ber <= 1.0) and np.all(bler <= 1.0)
+
+
+def test_transport_coded_link_nr_family():
+    """NR (38.212) transport chain through the distorted link with CNC
+    taps — the default coded family, mirroring the reference's MATLAB
+    DL-SCH (reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:104,149-179)."""
+    from mimo_ofdm_tpu.models.link_ldpc import (make_transport_round_fn,
+                                                transport_chain_for_modem)
+    cfg = LinkConfig(
+        modem=ModemConfig(constel_size=64, n_fft=256, n_sub_carr=128, cp_len=16),
+        array=ArrayConfig(n_elements=8),
+        channel=ChannelConfig(model="los"),
+        precoding="mrt",
+        pa=PaConfig(model="softlim", ibo_db=0.0),
+        rx=RxConfig(algorithm="cnc"),
+    )
+    # rate high enough that clipping distortion defeats the code at
+    # iteration 0 (at low rates BG2 corrects the IBO-0 distortion outright)
+    chain = transport_chain_for_modem(cfg, code_rate=0.75)
+    assert chain.code.kind.startswith("nr_bg")
+    assert chain.e_total == cfg.modem.n_bits_per_ofdm_sym
+    rf = make_transport_round_fn(cfg, 3, 8, chain, ldpc_iters=25)
+    snr = float(ebn0_to_snr(13.0, 256, 128, 64))
+    c = rf(jax.random.key(0), snr)
+    assert int(c.clean_err) == 0 and int(c.clean_blk) == 0
+    dist = np.asarray(c.dist_err, np.float64) / (8 * chain.a)
+    assert dist[0] > 0                                 # distortion bites
+    assert dist[1:].min() < dist[0]                    # CNC helps
+    blk = np.asarray(c.dist_blk)
+    assert np.all(blk[np.asarray(c.dist_err) == 0] == 0)
