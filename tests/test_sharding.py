@@ -83,3 +83,19 @@ def test_mesh_shapes():
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_weak_scaling_experiment_runs():
+    """weak_scaling drives parallel/scaling.py end to end on the virtual
+    CPU mesh and reports sane efficiencies."""
+    from mimo_ofdm_tpu.experiments import EXPERIMENTS
+    payload = EXPERIMENTS["weak_scaling"](
+        n_ant=4, n_iters=1, batch_per_device=8, device_counts=[1, 2, 4],
+        small=True, save_json=False, verbose=False)
+    res = payload["results"]
+    assert set(res) == {"1", "2", "4"}
+    assert res["1"]["efficiency"] == 1.0
+    for d in ("2", "4"):
+        assert 0.05 < res[d]["efficiency"] <= 1.5
+        assert res[d]["frames_per_s"] > 0
