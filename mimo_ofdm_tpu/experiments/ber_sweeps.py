@@ -55,6 +55,48 @@ def miso_ber_vs_ebn0(channels=("los",), algorithm="cnc", n_ant=64,
     return out
 
 
+@register("csi_err_ber_vs_ebn0")
+def csi_err_ber_vs_ebn0(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
+                        csi_eps=(0.0, 0.1, 0.2, 0.3), n_iters=8, ebn0_min=5.0,
+                        ebn0_max=20.0, ebn0_step=0.5, n_err_min=100_000,
+                        bits_sent_max=10_000_000, batch=32, seed=0,
+                        save_csv=True, verbose=True, small=False):
+    """BER vs Eb/N0 under imperfect CSI: the precoder/AGC/MCNC-replica see
+    ``H_noisy = sqrt(1-eps^2) H + eps sigma_H CN(0,1)`` while propagation
+    uses the true ``H``
+    (``reference/main_mp_clipping_noise_cancellation/main_mp_miso_{cnc,mcnc}_csi_err_ber_vs_ebn0.py``
+    driving ``reference/mp_model.py:264-284``). CSV filenames match the
+    reference's committed ground truth
+    (``reference/figs/csv_results/ber_vs_ebn0_cnc_los_csi_eps0.100_...``)."""
+    cfg0, _ = canonical_miso_cnc()
+    if small:
+        cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
+                                              n_sub_carr=128, cp_len=16))
+    out = {}
+    for i, eps in enumerate(np.atleast_1d(np.asarray(csi_eps, np.float64))):
+        cfg = cfg0.replace(
+            array=ArrayConfig(n_elements=n_ant, cord_z=cfg0.array.cord_z),
+            channel=ChannelConfig(model=channel),
+            pa=PaConfig(model=cfg0.pa.model, ibo_db=ibo_db),
+            rx=RxConfig(algorithm=algorithm),
+            csi_epsilon=float(eps))
+        sweep = SweepConfig(ebn0_min=ebn0_min, ebn0_max=ebn0_max,
+                            ebn0_step=ebn0_step, n_err_min=n_err_min,
+                            bits_sent_max=bits_sent_max, batch_frames=batch)
+        if verbose:
+            print(f"--- csi_eps = {eps:.3f} ---")
+        res = run_ber_sweep(cfg, sweep, n_iters,
+                            seed=seed + 1000 * i, verbose=verbose)
+        if save_csv:
+            fname = results.ber_sweep_filename(
+                "ber_vs_ebn0", algorithm, f"{channel}_csi_eps{eps:.3f}",
+                n_ant, ibo_db, res.param_values,
+                list(range(1, n_iters + 1)))
+            results.save_ber_sweep(res.param_values, res.ber_matrix, fname)
+        out[float(eps)] = res
+    return out
+
+
 @register("awgn_ber_vs_ebn0")
 def awgn_ber_vs_ebn0(n_iters=8, ebn0_min=0.0, ebn0_max=20.0, ebn0_step=2.0,
                      ibo_db=0.0, n_err_min=1000, bits_sent_max=1_000_000,

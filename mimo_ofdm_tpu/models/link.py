@@ -139,14 +139,8 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
     freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
     channel_fn = make_channel_fn(cfg, freqs_sc, rx_base, reroll, dtype,
                                  ant_axis_name)
-    if cfg.modem.n_users == 1 and cfg.precoding == "mrt":
-        def precoder(h_sc):
-            return precoding.mrt_precoder(h_sc, ant_axis_name)
-    else:
-        if ant_axis_name is not None:
-            raise NotImplementedError(
-                "antenna-axis sharding currently supports single-user MRT")
-        precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users)
+    precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users,
+                                       ant_axis_name, n_ant)
 
     def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> FrameCounters:
         k_chan, k_csi, k_bits_c, k_bits_d, k_noise_c, k_noise_d = \

@@ -63,11 +63,15 @@ class MuFrameCounters(NamedTuple):
 
 def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
                      *, incl_clean: bool = True, reroll: bool = True,
-                     dtype=jnp.complex64):
+                     dtype=jnp.complex64, ant_axis_name: str | None = None):
     """Per-frame MU simulator (shared subcarriers)
     ``frame_fn(key, snr_db, tx_pos) -> MuFrameCounters``. For the
     separate-subcarriers-per-user variant see
-    :func:`make_mu_sep_frame_fn`."""
+    :func:`make_mu_sep_frame_fn`.
+
+    With ``ant_axis_name`` the frame runs antenna-sharded inside
+    ``shard_map``: ``tx_pos`` is the local antenna shard, precoder norms /
+    ZF Grams / AGC sums / channel combines psum over the axis."""
     m = cfg.modem.constel_size
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
     n_ant = cfg.array.n_elements
@@ -81,7 +85,9 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
 
     _, freqs, _ = link_static(cfg, dtype)
     freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
-    precoder = precoding.make_precoder(cfg.precoding, n_users=n_usr)
+    precoder = precoding.make_precoder(cfg.precoding, n_users=n_usr,
+                                       ant_axis_name=ant_axis_name,
+                                       n_ant_global=n_ant)
 
     # one channel generator per user position (rebasing rx_base per user);
     # generated on the data-subcarrier grid only (see models/link.py)
@@ -89,7 +95,7 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
     for u in range(n_usr):
         chan_fn = make_channel_fn(cfg, freqs_sc,
                                   jnp.asarray(user_positions[u], jnp.float32),
-                                  reroll, dtype)
+                                  reroll, dtype, ant_axis_name)
         user_channel_fns.append(chan_fn)
 
     def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> MuFrameCounters:
@@ -100,9 +106,12 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
                               for u in range(n_usr)])      # [n_usr, n_ant, n_sc]
 
         v = precoder(h_sc_usr)                              # [n_ant, n_usr, n_sc]
-        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
+        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v,
+                                         ant_axis_name, n_ant)
         agc_usr = [agc_mod.compute_agc_sc(h_sc_usr[u], v, ibo_db, n_ant,
-                                          usr_idx=u) for u in range(n_usr)]
+                                          usr_idx=u,
+                                          ant_axis_name=ant_axis_name)
+                   for u in range(n_usr)]
 
         # --- clean run ---
         if incl_clean:
@@ -113,7 +122,8 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
             tx_sc = transmit.precode_symbols(sym_c, v)       # [n_ant, n_sc]
             clean_errs = []
             for u in range(n_usr):
-                rx = channels.propagate(h_sc_usr[u], tx_sc)
+                rx = channels.propagate(h_sc_usr[u], tx_sc,
+                                        ant_axis_name=ant_axis_name)
                 rx = noise_ops.awgn(jax.random.fold_in(k_noise_c, u), rx, snr_db,
                                     avg_sym_pow * agc_usr[u].hk_vk_noise_scaler)
                 rx = rx / agc_usr[u].hk_vk_agc_sc
@@ -136,7 +146,8 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
 
         dist_errs = []
         for u in range(n_usr):
-            rx = channels.propagate(h_sc_usr[u], fd_dist_sc)
+            rx = channels.propagate(h_sc_usr[u], fd_dist_sc,
+                                    ant_axis_name=ant_axis_name)
             rx = noise_ops.awgn(jax.random.fold_in(k_noise_d, u), rx, snr_db,
                                 avg_sym_pow * agc_usr[u].ak_hk_vk_noise_scaler)
             rx_sc = rx / agc_usr[u].ak_hk_vk_agc_sc
@@ -162,7 +173,8 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
                     other, u, h_sc_usr[u], v, agc_usr[u].ak_hk_vk_agc_sc,
                     constel_size=m, n_fft=n_fft, n_sc=n_sc, pa_model=pa_model,
                     sat_power=sat_pow, use_mxu_fft=cfg.use_mxu_fft,
-                mxu_storage=cfg.mxu_fft_storage)
+                    mxu_storage=cfg.mxu_fft_storage,
+                    ant_axis_name=ant_axis_name)
             else:
                 raise ValueError(f"unsupported MU rx algorithm {algorithm!r}")
             bits_all, _ = receivers.cnc_iterate(rx_sc, n_iters, m, replica)

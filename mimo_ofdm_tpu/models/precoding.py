@@ -53,23 +53,27 @@ def phase_precoder(h_sc: Array) -> Array:
     return jnp.exp(1j * jnp.angle(jnp.conj(h_sc))).astype(h_sc.dtype)
 
 
-def mu_mrt_precoder(h_sc_mu: Array) -> Array:
+def mu_mrt_precoder(h_sc_mu: Array, ant_axis_name: str | None = None) -> Array:
     """Multi-user MRT with joint normalization over users
     (``reference/antenna_array.py:201-220``): the per-subcarrier norm is
     ``sqrt(sum_usr sum_ant |H_u|^2)``. ``h_sc_mu``: ``[n_usr, n_ant, n_sc]``
-    -> ``V [n_ant, n_usr, n_sc]``."""
-    norm = jnp.sqrt(jnp.sum(jnp.abs(h_sc_mu) ** 2, axis=(0, 1)))  # [n_sc]
+    (local antenna shard under antenna parallelism) ->
+    ``V [n_ant, n_usr, n_sc]``."""
+    norm2 = _ant_sum(jnp.abs(h_sc_mu) ** 2, (0, 1), ant_axis_name)  # [n_sc]
+    norm = jnp.sqrt(norm2)
     v = jnp.conj(h_sc_mu) / norm.astype(h_sc_mu.dtype)            # [n_usr, n_ant, n_sc]
     return jnp.transpose(v, (1, 0, 2))
 
 
-def mu_phase_precoder(h_sc_mu: Array) -> Array:
-    """Multi-user phase-only precoding (``reference/antenna_array.py:259-267``)."""
+def mu_phase_precoder(h_sc_mu: Array, ant_axis_name: str | None = None) -> Array:
+    """Multi-user phase-only precoding (``reference/antenna_array.py:259-267``;
+    purely per-antenna, so antenna sharding needs no collective)."""
     v = jnp.exp(1j * jnp.angle(jnp.conj(h_sc_mu))).astype(h_sc_mu.dtype)
     return jnp.transpose(v, (1, 0, 2))
 
 
-def zf_precoder(h_sc_mu: Array) -> Array:
+def zf_precoder(h_sc_mu: Array, ant_axis_name: str | None = None,
+                n_ant_global: int | None = None) -> Array:
     """Zero-forcing precoding, batched over subcarriers
     (``reference/antenna_array.py:222-257``):
 
@@ -78,19 +82,31 @@ def zf_precoder(h_sc_mu: Array) -> Array:
     then normalized to unit total power per subcarrier (:254-257).
 
     ``h_sc_mu``: ``[n_usr, n_ant, n_sc]`` -> ``V [n_ant, n_usr, n_sc]``.
+
+    Under antenna sharding the per-subcarrier Gram matrix
+    ``Hm conj(Hm)^T`` is the psum of local ``[n_usr, n_usr]`` outer
+    products (each shard then solves the same replicated small system and
+    keeps its own rows of ``V``), and the unit-power normalization psums
+    the local power (SURVEY.md section 2.3 P2).
     """
     n_usr, n_ant, n_sc = h_sc_mu.shape
+    k_total = n_ant if ant_axis_name is None else n_ant_global
     hm = jnp.transpose(h_sc_mu, (2, 0, 1))                # [n_sc, n_usr, n_ant]
     gram = hm @ jnp.conj(jnp.transpose(hm, (0, 2, 1)))    # [n_sc, n_usr, n_usr]
+    if ant_axis_name is not None:
+        gram = jax.lax.psum(gram, ant_axis_name)
     inv = jnp.linalg.pinv(gram)
-    v = jnp.sqrt(float(n_ant - n_usr)) * (jnp.conj(jnp.transpose(hm, (0, 2, 1))) @ inv)
+    v = jnp.sqrt(float(k_total - n_usr)) * (jnp.conj(jnp.transpose(hm, (0, 2, 1))) @ inv)
     # unit total power per subcarrier
-    pw = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=(1, 2), keepdims=True))
-    v = v / pw.astype(v.dtype)                            # [n_sc, n_ant, n_usr]
+    pw2 = jnp.sum(jnp.abs(v) ** 2, axis=(1, 2), keepdims=True)
+    if ant_axis_name is not None:
+        pw2 = jax.lax.psum(pw2, ant_axis_name)
+    v = v / jnp.sqrt(pw2).astype(v.dtype)                 # [n_sc, n_ant, n_usr]
     return jnp.transpose(v, (1, 2, 0))
 
 
-def mu_sep_carrier_precoder(h_sc_mu: Array, mr_precoding: bool = True) -> Array:
+def mu_sep_carrier_precoder(h_sc_mu: Array, mr_precoding: bool = True,
+                            ant_axis_name: str | None = None) -> Array:
     """Separate-subcarriers-per-user precoding
     (``reference/antenna_array.py:275-305``): user ``u`` owns the ``u``-th
     of ``n_usr`` contiguous subcarrier blocks; the composed channel takes
@@ -100,16 +116,33 @@ def mu_sep_carrier_precoder(h_sc_mu: Array, mr_precoding: bool = True) -> Array:
     blk = n_sc // n_usr
     blocks = [h_sc_mu[u, :, u * blk:(u + 1) * blk] for u in range(n_usr)]
     composed = jnp.concatenate(blocks, axis=-1)           # [n_ant, n_sc]
-    return mrt_precoder(composed) if mr_precoding else phase_precoder(composed)
+    if mr_precoding:
+        return mrt_precoder(composed, ant_axis_name)
+    return phase_precoder(composed)
 
 
-def make_precoder(kind: str, n_users: int = 1):
-    """Dispatch used by the link model. ``kind``: mrt | phase | zf | none."""
+def make_precoder(kind: str, n_users: int = 1,
+                  ant_axis_name: str | None = None,
+                  n_ant_global: int | None = None):
+    """Dispatch used by the link models. ``kind``: mrt | phase | zf | none.
+    Every precoder supports antenna-axis sharding (``ant_axis_name``):
+    the cross-antenna reductions (MRT norm, ZF Gram + power norm) ride a
+    ``psum`` while everything else stays shard-local."""
     if kind == "none":
         return lambda h_sc: jnp.ones_like(h_sc)
     if n_users == 1:
-        return {"mrt": mrt_precoder, "phase": phase_precoder}[kind]
-    return {"mrt": mu_mrt_precoder, "phase": mu_phase_precoder, "zf": zf_precoder}[kind]
+        if kind == "mrt":
+            return lambda h: mrt_precoder(h, ant_axis_name)
+        if kind == "phase":
+            return lambda h: phase_precoder(h)
+        raise ValueError(f"unknown single-user precoder {kind!r}")
+    if kind == "mrt":
+        return lambda h: mu_mrt_precoder(h, ant_axis_name)
+    if kind == "phase":
+        return lambda h: mu_phase_precoder(h, ant_axis_name)
+    if kind == "zf":
+        return lambda h: zf_precoder(h, ant_axis_name, n_ant_global)
+    raise ValueError(f"unknown multi-user precoder {kind!r}")
 
 
 # --- constant-IBO bookkeeping ---------------------------------------------

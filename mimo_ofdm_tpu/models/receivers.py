@@ -193,7 +193,8 @@ def make_mcnc_mu_replica(other_usr_symbols: Array, usr_idx: int, h_sc: Array,
                          n_fft: int, n_sc: int, pa_model: str = "softlim",
                          sat_power: Array | float, rapp_p: float = 1.1,
                          use_mxu_fft: bool = False,
-                         mxu_storage: str = "float32"):
+                         mxu_storage: str = "float32",
+                         ant_axis_name: str | None = None):
     """Two-user MCNC replica (``McncMuReceiver.receive``,
     ``reference/corrector.py:405-451``): the replica transmit stacks the
     detected own-user symbols with the known other-user symbols in original
@@ -210,7 +211,8 @@ def make_mcnc_mu_replica(other_usr_symbols: Array, usr_idx: int, h_sc: Array,
                                        use_mxu_fft=use_mxu_fft,
                                        mxu_storage=mxu_storage)
         fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
-        return channels.propagate(h_sc, fd_dist_sc) / agc_corr_sc
+        rx = channels.propagate(h_sc, fd_dist_sc, ant_axis_name=ant_axis_name)
+        return rx / agc_corr_sc
 
     return replica
 

@@ -91,3 +91,51 @@ def make_dp_round_fn(cfg: LinkConfig, n_iters: int, batch: int, mesh: Mesh,
                      **kw):
     """Pure data-parallel round (tp=1) — the common fast path."""
     return make_sharded_round_fn(cfg, n_iters, batch, mesh, **kw)
+
+
+def make_sharded_mu_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
+                             mesh: Mesh, user_positions=None, *,
+                             incl_clean: bool = True, reroll: bool = True,
+                             dtype=jnp.complex64):
+    """Multi-user SPMD round over a ``(dp, tp)`` mesh — trial-parallel
+    frames with antenna-sharded ZF/MU-MRT precoding and MU receivers
+    (CNC / CNC-MU / MCNC-MU), per-user counters psum-reduced over ``dp``
+    (reference MU family: ``reference/main_multiuser/``)."""
+    from mimo_ofdm_tpu.models.link_mu import (MuFrameCounters,
+                                              default_user_positions,
+                                              make_mu_frame_fn)
+    if user_positions is None:
+        user_positions = default_user_positions()
+    n_dp = mesh.shape["dp"]
+    n_tp = mesh.shape["tp"]
+    if batch % n_dp:
+        raise ValueError(f"batch {batch} not divisible by dp={n_dp}")
+    if cfg.array.n_elements % n_tp:
+        raise ValueError(f"n_ant {cfg.array.n_elements} not divisible by "
+                         f"tp={n_tp}")
+    ant_axis = "tp" if n_tp > 1 else None
+    frame_fn = make_mu_frame_fn(cfg, n_iters, user_positions,
+                                incl_clean=incl_clean, reroll=reroll,
+                                dtype=dtype, ant_axis_name=ant_axis)
+    tx_pos_global = link_static(cfg, dtype)[0]
+
+    def spmd_body(keys_local, snr_db, tx_pos_local):
+        counters = jax.vmap(frame_fn, in_axes=(0, None, None))(
+            keys_local, snr_db, tx_pos_local)
+        local = jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
+                             counters)
+        return jax.tree.map(lambda x: jax.lax.psum(x, "dp"), local)
+
+    spmd = jax.shard_map(
+        spmd_body, mesh=mesh,
+        in_specs=(P("dp"), P(), P("tp")),
+        out_specs=MuFrameCounters(clean_err=P(), dist_err=P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def round_fn(key, snr_db):
+        keys = jax.random.split(key, batch)
+        return spmd(keys, snr_db, tx_pos_global)
+
+    return round_fn

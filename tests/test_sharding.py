@@ -99,3 +99,30 @@ def test_weak_scaling_experiment_runs():
     for d in ("2", "4"):
         assert 0.05 < res[d]["efficiency"] <= 1.5
         assert res[d]["frames_per_s"] > 0
+
+
+@needs_8_devices
+@pytest.mark.parametrize("precoding,algorithm", [("zf", "cnc"),
+                                                 ("mrt", "mcnc_mu")])
+def test_mu_tp_sharding_matches_single_device(precoding, algorithm):
+    """MU precoders (ZF Gram psum, MU-MRT norm psum) and the MCNC-MU
+    replica under antenna sharding must reproduce the unsharded MU round
+    (LOS channels: all randomness in bits/noise, shared across layouts)."""
+    from mimo_ofdm_tpu.models.link_mu import make_mu_round_fn
+    from mimo_ofdm_tpu.parallel.sharded import make_sharded_mu_round_fn
+    cfg = LinkConfig(
+        modem=ModemConfig(constel_size=16, n_fft=256, n_sub_carr=128, cp_len=16),
+        array=ArrayConfig(n_elements=8),
+        channel=ChannelConfig(model="los"),
+        precoding=precoding,
+        pa=PaConfig(model="softlim", ibo_db=0.0),
+        rx=RxConfig(algorithm=algorithm),
+    )
+    key = jax.random.key(11)
+    single = make_mu_round_fn(cfg, 2, 8)(key, 15.0)
+    mesh = make_mesh(n_dp=4, n_tp=2)
+    sharded = make_sharded_mu_round_fn(cfg, 2, 8, mesh)(key, 15.0)
+    se, pe = np.asarray(single.dist_err), np.asarray(sharded.dist_err)
+    np.testing.assert_array_equal(np.asarray(single.clean_err),
+                                  np.asarray(sharded.clean_err))
+    np.testing.assert_array_equal(se, pe)
