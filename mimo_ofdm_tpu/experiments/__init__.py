@@ -38,4 +38,4 @@ def register(name):
 
 
 from mimo_ofdm_tpu.experiments import (  # noqa: E402,F401
-    ber_sweeps, misc_evals, parallel_evals, spatial)
+    ber_sweeps, misc_evals, parallel_evals, siso_checks, spatial)

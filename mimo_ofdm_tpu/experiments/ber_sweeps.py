@@ -417,28 +417,35 @@ def transport_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
 
 
 @register("multiuser_ber")
-def multiuser_ber(precoding="mrt", algorithm="cnc", n_ant=64, ibo_db=0.0,
-                  n_iters=8, ebn0_min=5.0, ebn0_max=20.0, ebn0_step=2.0,
-                  n_err_min=100_000, bits_sent_max=10_000_000, batch=16,
-                  seed=0, save_csv=True, verbose=True, small=False,
-                  sep_carriers=False):
-    """Per-user BER vs Eb/N0 for the canonical 2-user geometry
-    (``reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py``).
-    ``algorithm``: cnc | cnc_mu (CNCWI) | mcnc_mu (MCNCWI)."""
+def multiuser_ber(precoding="mrt", algorithm="cnc", channel="los", n_ant=64,
+                  ibo_db=0.0, user_angles=(-30.0, 30.0),
+                  user_distances=(100.0, 316.3), n_iters=8, ebn0_min=5.0,
+                  ebn0_max=20.0, ebn0_step=2.0, n_err_min=100_000,
+                  bits_sent_max=10_000_000, batch=16, seed=0, save_csv=True,
+                  verbose=True, small=False, sep_carriers=False):
+    """Per-user BER vs Eb/N0 for a configurable user geometry and channel
+    (``reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py``; the
+    reference MU family also studies two-path/Rayleigh channels and other
+    angle/distance layouts). Defaults = the canonical 2-user geometry
+    (+-30 deg at 100 / 316.3 m). ``algorithm``: cnc | cnc_mu (CNCWI) |
+    mcnc_mu (MCNCWI)."""
     import jax
+    from mimo_ofdm_tpu.models.link_mu import default_user_positions
+    n_usr = len(user_angles)
     modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
                         n_sub_carr=128 if small else 2048,
-                        cp_len=16 if small else 128, n_users=2)
+                        cp_len=16 if small else 128, n_users=n_usr)
     cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=n_ant),
-                     channel=ChannelConfig(model="los"), precoding=precoding,
+                     channel=ChannelConfig(model=channel), precoding=precoding,
                      pa=PaConfig(model="softlim", ibo_db=ibo_db),
                      rx=RxConfig(algorithm=algorithm))
+    user_positions = default_user_positions(tuple(user_angles),
+                                            tuple(user_distances))
     ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
     snrs = ebn0_to_snr(ebn0, modem.n_sub_carr, modem.n_sub_carr, modem.constel_size)
-    round_fn = make_mu_round_fn(cfg, n_iters, batch, sep_carriers=sep_carriers)
+    round_fn = make_mu_round_fn(cfg, n_iters, batch, user_positions,
+                                sep_carriers=sep_carriers)
     n_bits_frame = modem.n_bits_per_ofdm_sym
-
-    n_usr = 2
     ber = np.zeros((n_usr, n_iters + 2, len(ebn0)))
     for i, snr in enumerate(snrs):
         n_err = np.zeros((n_usr, n_iters + 2), np.int64)
@@ -462,7 +469,7 @@ def multiuser_ber(precoding="mrt", algorithm="cnc", n_ant=64, ibo_db=0.0,
     if save_csv:
         for u in range(n_usr):
             fname = results.ber_sweep_filename(
-                f"mu_ber_vs_ebn0_usr{u}_{precoding}", algorithm, "los", n_ant,
-                ibo_db, ebn0, list(range(1, n_iters + 1)))
+                f"mu_ber_vs_ebn0_usr{u}_{precoding}", algorithm, channel,
+                n_ant, ibo_db, ebn0, list(range(1, n_iters + 1)))
             results.save_ber_sweep(ebn0, ber[u], fname)
     return ebn0, ber

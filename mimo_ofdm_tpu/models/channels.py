@@ -127,6 +127,27 @@ def random_paths_channel(key: Array, tx_pos: Array, freqs: Array,
     return (jnp.sum(phases, axis=-1) / jnp.sqrt(float(n_paths))).astype(dtype)
 
 
+def rician_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
+                   k_factor_db: float = 9.0, skip_attenuation: bool = False,
+                   dtype=jnp.complex64) -> Array:
+    """Rician fading: deterministic LOS component plus IID Rayleigh
+    scatter, mixed by the K-factor ``K = 10^(K_dB/10)``:
+    ``H = sqrt(K/(K+1)) H_los + sqrt(1/(K+1)) H_ray`` per antenna x bin.
+    Spans the gap between the reference's pure-LOS (``channel.py:11-91``)
+    and pure-Rayleigh (``channel.py:187-293``) models, standing in for the
+    intermediate Quadriga LOS scenarios (``channel.py:404-494``)."""
+    k_lin = 10.0 ** (k_factor_db / 10.0)
+    h_los = los_channel(tx_pos, rx_pos, freqs, skip_attenuation, dtype=dtype)
+    n_ant = tx_pos.shape[-2]
+    scatter = complex_normal(key, (n_ant, freqs.shape[-1]), dtype)
+    # scatter scaled to the same per-antenna average power as the LOS part
+    p_los = jnp.mean(jnp.abs(h_los) ** 2, axis=-1, keepdims=True)
+    w_los = jnp.sqrt(k_lin / (k_lin + 1.0))
+    w_sc = jnp.sqrt(1.0 / (k_lin + 1.0))
+    return (w_los * h_los
+            + w_sc * scatter * jnp.sqrt(p_los).astype(dtype)).astype(dtype)
+
+
 # --- native 3GPP-like TDL substitute for the Quadriga/MATLAB sidecar -------
 
 # (normalized power [dB], normalized delay) per tap — compact cluster
@@ -148,6 +169,14 @@ TDL_PROFILES: dict[str, dict] = {
         "powers_db": np.array([-0.2, -13.5, -18.8, -21.0, -22.8, -17.9, -20.1,
                                -21.9, -22.9, -27.8, -23.6, -24.8]),
         "has_los": True,
+    },
+    # NLOS urban-macro rich scattering (TDL-C-like, 12 strongest clusters)
+    "uma_nlos": {
+        "delays": np.array([0.0, 0.2099, 0.2219, 0.2329, 0.2176, 0.6366,
+                            0.6448, 0.6560, 0.6584, 0.7935, 0.8213, 1.0618]),
+        "powers_db": np.array([-4.4, -1.2, -3.5, -5.2, -2.5, 0.0, -2.2, -3.9,
+                               -7.4, -7.1, -10.7, -11.1]),
+        "has_los": False,
     },
 }
 

@@ -91,6 +91,13 @@ def make_channel_fn(cfg: LinkConfig, freqs: Array, rx_base: Array,
                                             jax.lax.axis_index(ant_axis_name))
             return channels.rayleigh_channel(k_fade, tx_pos, rx_base, freqs,
                                              skip_att, dtype=dtype)
+        if model == "rician":
+            if ant_axis_name is not None:
+                k_fade = jax.random.fold_in(k_fade,
+                                            jax.lax.axis_index(ant_axis_name))
+            return channels.rician_channel(k_fade, tx_pos, rx_position(k_loc),
+                                           freqs, cfg.channel.rician_k_db,
+                                           skip_att, dtype=dtype)
         if model == "random_paths":
             return channels.random_paths_channel(k_fade, tx_pos, freqs,
                                                  cfg.channel.n_paths,

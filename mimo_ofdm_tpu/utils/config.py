@@ -69,13 +69,13 @@ class ArrayConfig:
 @dataclass(frozen=True)
 class ChannelConfig:
     """MISO channel model selection (``reference/channel.py``)."""
-    model: str = "los"            # los | two_path | rayleigh | random_paths | tdl_3gpp
+    model: str = "los"  # los | two_path | rayleigh | rician | random_paths | tdl_3gpp
     skip_attenuation: bool = False
     n_paths: int = 10             # random_paths
     max_delay_spread: float = 1000e-9
     # tdl_3gpp substitute for the MATLAB/Quadriga engine (reference/channel.py:404-494)
-    tdl_profile: str = "uma_los"
-    rician_k_db: float = 9.0
+    tdl_profile: str = "uma_los"  # uma_los | umi_nlos | uma_nlos
+    rician_k_db: float = 9.0      # K-factor for model="rician"
 
 
 @dataclass(frozen=True)

@@ -169,3 +169,56 @@ def test_cnc_mu_matches_numpy(rx_input):
     bits, _ = receivers.cnc_iterate(jnp.asarray(rx_input, jnp.complex128),
                                     n_iters, M, replica)
     np.testing.assert_array_equal(np.asarray(bits), gold)
+
+
+def test_mcnc_mu_bit_exact_vs_numpy_reference(rx_input):
+    """MCNCWI: the replica transmit stacks the detected own-user symbols
+    with the known other-user symbols in original user order, runs the
+    full MU-precoded TX + channel + own-user AGC
+    (``reference/corrector.py:405-451``)."""
+    rng = np.random.default_rng(3)
+    constellation = np_constellation()
+    n_ant, n_usr, n_iters, usr_idx = 4, 2, 3, 0
+    other = constellation[rng.integers(0, M, N_SC)]
+
+    h_mu = (rng.normal(size=(n_usr, n_ant, N_SC))
+            + 1j * rng.normal(size=(n_usr, n_ant, N_SC))) / np.sqrt(2)
+    # MU-MRT with joint normalization (reference/antenna_array.py:201-220)
+    norm = np.sqrt(np.sum(np.abs(h_mu) ** 2, axis=(0, 1)))
+    v_mu = np.transpose(np.conj(h_mu) / norm, (1, 0, 2))   # [n_ant, n_usr, n_sc]
+
+    avg_sym_pow = float(np.mean(np.abs(constellation) ** 2))
+    avg_samp_pow = avg_sym_pow * N_SC / N_FFT
+    sat = avg_samp_pow * np.mean(np.sum(np.abs(v_mu) ** 2, axis=1))
+    # per-antenna alpha from total precoder power over users
+    # (reference/corrector.py:379-384)
+    vk_pow = np.sum(np.abs(v_mu) ** 2, axis=(1, 2))
+    ak = np.asarray(pa.bussgang_alpha(
+        10 * np.log10(10 ** 0 * N_SC / (vk_pow * n_ant))))
+    h_u = h_mu[usr_idx]
+    agc_sc = np.sum(ak[:, None] * h_u * v_mu[:, usr_idx, :], axis=0)
+
+    # --- independent numpy MCNC-MU loop ---
+    d_est = np.zeros(N_SC, np.complex128)
+    gold = []
+    for _ in range(n_iters + 1):
+        corr = rx_input - d_est
+        det, idx = np_detect(corr, constellation)
+        gold.append(((idx[:, None] >> np.arange(BPS - 1, -1, -1)) & 1).ravel())
+        sym_mu = np.stack([det, other]) if usr_idx == 0 else np.stack([other, det])
+        per_ant = np.einsum("aus,us->as", v_mu, sym_mu)    # [n_ant, n_sc]
+        rep_sc = np.zeros(N_SC, np.complex128)
+        for a in range(n_ant):
+            td = np.fft.ifft(np_embed(per_ant[a]), norm="ortho")
+            rep_sc += h_u[a] * np_extract(np.fft.fft(np_clip(td, sat),
+                                                     norm="ortho"))
+        d_est = rep_sc / agc_sc - det
+    gold = np.stack(gold)
+
+    replica = receivers.make_mcnc_mu_replica(
+        jnp.asarray(other), usr_idx, jnp.asarray(h_u), jnp.asarray(v_mu),
+        jnp.asarray(agc_sc), constel_size=M, n_fft=N_FFT, n_sc=N_SC,
+        sat_power=sat)
+    bits, _ = receivers.cnc_iterate(jnp.asarray(rx_input, jnp.complex128),
+                                    n_iters, M, replica)
+    np.testing.assert_array_equal(np.asarray(bits), gold)
