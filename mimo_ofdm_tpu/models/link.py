@@ -191,11 +191,21 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         # --- clean run (reference/mp_model.py:136-175) ---
         if incl_clean:
             bits_c = jax.random.bernoulli(k_bits_c, 0.5, (n_bits,)).astype(jnp.int8)
-            # without PA distortion the TX (I)FFT round trip is an
-            # identity, so the precoded symbols propagate directly
+            # Without PA distortion the TX (I)FFT round trip is an identity
+            # and propagation commutes with the per-subcarrier symbol
+            # multiply: sum_ant h (v s) = s * sum_ant(h v). The combined
+            # [n_sc] vector is the AGC's hk_vk when CSI is perfect (h_pre =
+            # h), so the [n_ant, n_sc] precoded array is never materialized
+            # (and under antenna sharding the propagate psum is saved too).
             sym_c = transmit.modulate_users(bits_c, m, dtype)
-            tx_sc = transmit.precode_symbols(sym_c, v)
-            rx_c = channels.propagate(h_sc, tx_sc, ant_axis_name=ant_axis_name)
+            if cfg.csi_epsilon:
+                # propagation uses the TRUE channel; the AGC vector is built
+                # from the noisy h_pre, so combine h o v separately here
+                hv_true = channels.propagate(h_sc, v,
+                                             ant_axis_name=ant_axis_name)
+            else:
+                hv_true = agc.hk_vk_agc_sc
+            rx_c = sym_c * hv_true
             rx_c = noise_ops.awgn(k_noise_c, rx_c, snr_db,
                                   avg_sym_pow * agc.hk_vk_noise_scaler)
             rx_c = rx_c / agc.hk_vk_agc_sc
