@@ -216,12 +216,12 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
 
         # --- distorted run (reference/mp_model.py:180-222) ---
         bits_d = jax.random.bernoulli(k_bits_d, 0.5, (n_bits,)).astype(jnp.int8)
-        fd_dist = transmit.array_transmit_fd(
-            bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
-            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
-            use_mxu_fft=cfg.use_mxu_fft,
-                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
-        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+        sym_d = transmit.modulate_users(bits_d, m, dtype)
+        per_ant_sc = transmit.precode_symbols(sym_d, v)
+        fd_dist_sc = transmit.ifft_pa_fft_sc(
+            per_ant_sc, n_fft, pa_model, sat_pow,
+            rapp_p=cfg.pa.rapp_p_hardness, toi_coeff=toi_coeff,
+            use_mxu_fft=cfg.use_mxu_fft, mxu_storage=cfg.mxu_fft_storage)
         rx_d = channels.propagate(h_sc, fd_dist_sc, ant_axis_name=ant_axis_name)
         rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
                               avg_sym_pow * agc.ak_hk_vk_noise_scaler)

@@ -102,12 +102,11 @@ def make_coded_frame_fn(cfg: LinkConfig, n_iters: int,
         # --- distorted coded run with CNC/MCNC symbol taps ---
         info_d = jax.random.bernoulli(k_info_d, 0.5, (code.k,)).astype(jnp.int8)
         coded_d = ldpc.encode(code, info_d)
-        fd_dist = transmit.array_transmit_fd(
+        fd_dist_sc = transmit.array_transmit_sc(
             coded_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
             sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
             use_mxu_fft=cfg.use_mxu_fft,
-                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
-        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+            mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
         rx_d = channels.propagate(h_sc, fd_dist_sc)
         rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
                               avg_sym_pow * agc.ak_hk_vk_noise_scaler)
@@ -238,12 +237,11 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
 
         pay_d = jax.random.bernoulli(k_info_d, 0.5, (chain.a,)).astype(jnp.int8)
         coded_d = tp.transport_encode(chain, pay_d)
-        fd_dist = transmit.array_transmit_fd(
+        fd_dist_sc = transmit.array_transmit_sc(
             coded_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
             sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
             use_mxu_fft=cfg.use_mxu_fft,
-                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
-        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+            mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
         rx_d = channels.propagate(h_sc, fd_dist_sc)
         rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
                               avg_sym_pow * agc.ak_hk_vk_noise_scaler)

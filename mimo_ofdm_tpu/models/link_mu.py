@@ -137,12 +137,11 @@ def make_mu_frame_fn(cfg: LinkConfig, n_iters: int, user_positions: np.ndarray,
         bits_d = jax.random.bernoulli(k_bits_d, 0.5,
                                       (n_usr, n_bits)).astype(jnp.int8)
         tx_sym = qam.modulate_bits(bits_d, m, dtype)        # [n_usr, n_sc]
-        fd_dist = transmit.array_transmit_fd(
+        fd_dist_sc = transmit.array_transmit_sc(
             bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
             sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
             use_mxu_fft=cfg.use_mxu_fft,
-                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
-        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+            mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
 
         dist_errs = []
         for u in range(n_usr):
@@ -262,12 +261,11 @@ def make_mu_sep_frame_fn(cfg: LinkConfig, n_iters: int,
         # --- distorted run ---
         bits_d = jax.random.bernoulli(
             k_bits_d, 0.5, (n_sc * bps,)).astype(jnp.int8)
-        fd_dist = transmit.array_transmit_fd(
+        fd_dist_sc = transmit.array_transmit_sc(
             bits_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
             sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
             use_mxu_fft=cfg.use_mxu_fft,
-                mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
-        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+            mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
         dist_errs = []
         for u in range(n_usr):
             rx = channels.propagate(h_usr[u], fd_dist_sc)

@@ -127,11 +127,9 @@ def make_cnc_replica(constel_size: int, n_fft: int, n_sc: int, ibo_db: float,
         a = pa.bussgang_alpha(ibo_db) if alpha is None else alpha
 
     def replica(det_sym: Array) -> Array:
-        fd = ofdm.map_subcarriers(det_sym, n_fft)
-        fd_dist = transmit.ifft_pa_fft(fd, pa_model, sat, rapp_p, coeff,
-                                       use_mxu_fft=use_mxu_fft,
-                                       mxu_storage=mxu_storage)
-        est = ofdm.extract_subcarriers(fd_dist, n_sc)
+        est = transmit.ifft_pa_fft_sc(det_sym, n_fft, pa_model, sat, rapp_p,
+                                      coeff, use_mxu_fft=use_mxu_fft,
+                                      mxu_storage=mxu_storage)
         return est / jnp.asarray(a).astype(est.dtype)
 
     return replica
@@ -157,11 +155,10 @@ def make_mcnc_replica(h_sc: Array, v: Array, agc_corr_sc: Array, *,
     ``h_sc``: ``[n_ant, n_sc]``; ``agc_corr_sc``: ``[n_sc]``."""
     def replica(det_sym: Array) -> Array:
         per_ant_sc = transmit.precode_symbols(det_sym, v)
-        fd_clean = ofdm.map_subcarriers(per_ant_sc, n_fft)
-        fd_dist = transmit.ifft_pa_fft(fd_clean, pa_model, sat_power, rapp_p,
-                                       toi_coeff, use_mxu_fft=use_mxu_fft,
-                                       mxu_storage=mxu_storage)
-        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+        fd_dist_sc = transmit.ifft_pa_fft_sc(per_ant_sc, n_fft, pa_model,
+                                             sat_power, rapp_p, toi_coeff,
+                                             use_mxu_fft=use_mxu_fft,
+                                             mxu_storage=mxu_storage)
         rx = channels.propagate(h_sc, fd_dist_sc, ant_axis_name=ant_axis_name)
         return rx / agc_corr_sc
 
@@ -206,11 +203,10 @@ def make_mcnc_mu_replica(other_usr_symbols: Array, usr_idx: int, h_sc: Array,
         else:
             sym_mu = jnp.stack([other_usr_symbols, det_sym], axis=-2)
         per_ant_sc = transmit.precode_symbols(sym_mu, v, sum_users=True)
-        fd_clean = ofdm.map_subcarriers(per_ant_sc, n_fft)
-        fd_dist = transmit.ifft_pa_fft(fd_clean, pa_model, sat_power, rapp_p,
-                                       use_mxu_fft=use_mxu_fft,
-                                       mxu_storage=mxu_storage)
-        fd_dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+        fd_dist_sc = transmit.ifft_pa_fft_sc(per_ant_sc, n_fft, pa_model,
+                                             sat_power, rapp_p,
+                                             use_mxu_fft=use_mxu_fft,
+                                             mxu_storage=mxu_storage)
         rx = channels.propagate(h_sc, fd_dist_sc, ant_axis_name=ant_axis_name)
         return rx / agc_corr_sc
 

@@ -115,6 +115,39 @@ def ifft_pa_fft(fd_clean: Array, pa_model: str, sat_power: Array | float,
     return ofdm.td_to_fd(td_dist)
 
 
+def ifft_pa_fft_sc(per_ant_sc: Array, n_fft: int, pa_model: str,
+                   sat_power: Array | float, rapp_p: float = 1.1,
+                   toi_coeff: Array | float = 0.0, use_mxu_fft: bool = False,
+                   mxu_storage: str = "float32") -> Array:
+    """Subcarrier-domain distorted-TX core:
+    ``extract_sc(FFT(PA(IFFT(map_sc(x)))))`` for ``[..., n_sc]`` data bins.
+
+    On the MXU path the guard band is pruned out of the transform matmuls
+    entirely (:func:`mimo_ofdm_tpu.ops.mxu_fft.fused_sc_ifft_pa_fft_planar`)
+    — the ``[..., n_fft]`` frames on either side of the chain are never
+    materialized. Exactly equivalent to the full-band composition the
+    reference computes (``reference/antenna_array.py:110-140`` then strip,
+    ``reference/corrector.py:66``)."""
+    n_sc = per_ant_sc.shape[-1]
+    if use_mxu_fft and mxu_fft.sc_prune_eligible(n_fft, n_sc):
+        def expand(val):
+            val = jnp.asarray(val)
+            return val.reshape(val.shape[0], 1, 1) if val.ndim == 1 else val
+
+        sat = expand(sat_power)
+        coeff = expand(toi_coeff)
+
+        def pa_planar(pr, pi):
+            return pa.apply_pa_planar(pr, pi, pa_model, sat, rapp_p, coeff)
+
+        return mxu_fft.fused_sc_ifft_pa_fft_planar(per_ant_sc, pa_planar,
+                                                   n_fft, storage=mxu_storage)
+    fd_clean = ofdm.map_subcarriers(per_ant_sc, n_fft)
+    fd_dist = ifft_pa_fft(fd_clean, pa_model, sat_power, rapp_p, toi_coeff,
+                          use_mxu_fft=use_mxu_fft, mxu_storage=mxu_storage)
+    return ofdm.extract_subcarriers(fd_dist, n_sc)
+
+
 def array_transmit_fd(bits: Array, *, constel_size: int, n_fft: int, v: Array,
                       pa_model: str = "softlim", sat_power: Array | float = 1.0,
                       rapp_p: float = 1.1, toi_coeff: Array | float = 0.0,
@@ -140,6 +173,23 @@ def array_transmit_fd(bits: Array, *, constel_size: int, n_fft: int, v: Array,
     if return_clean:
         return fd_dist, fd_clean
     return fd_dist
+
+
+def array_transmit_sc(bits: Array, *, constel_size: int, n_fft: int, v: Array,
+                      pa_model: str = "softlim", sat_power: Array | float = 1.0,
+                      rapp_p: float = 1.1, toi_coeff: Array | float = 0.0,
+                      sum_users: bool = True, use_mxu_fft: bool = False,
+                      mxu_storage: str = "float32", dtype=jnp.complex64) -> Array:
+    """Array transmit straight to the ``[.., n_ant, n_sc]`` data bins —
+    ``extract_subcarriers(array_transmit_fd(...))`` with the guard band
+    pruned out of the MXU transforms (:func:`ifft_pa_fft_sc`). This is the
+    fast path for every link driver: the receivers only ever observe the
+    data bins (``reference/corrector.py:66``, ``reference/mp_model.py:299``)."""
+    symbols = modulate_users(bits, constel_size, dtype)
+    per_ant_sc = precode_symbols(symbols, v, sum_users=sum_users)
+    return ifft_pa_fft_sc(per_ant_sc, n_fft, pa_model, sat_power, rapp_p,
+                          toi_coeff, use_mxu_fft=use_mxu_fft,
+                          mxu_storage=mxu_storage)
 
 
 def array_transmit_td(bits: Array, *, constel_size: int, n_fft: int, cp_len: int,

@@ -216,6 +216,127 @@ def fused_ifft_pa_fft_planar(x_fd: Array, pa_fn_planar, *,
     return out.reshape(*lead, n).astype(x_fd.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Subcarrier-pruned fused chain.
+#
+# The TX/replica chains never observe the guard band: the IFFT input has
+# data on only ``n_sc`` of ``n_fft`` bins (DC and the guard bins are zero,
+# ``reference/modulation.py:264-267``) and the FFT output is immediately
+# stripped back to the data bins (``reference/corrector.py:66``,
+# ``reference/mp_model.py:299``). In the [R, R] digit decomposition the
+# occupied bins are *whole rows*: bins 1..n_sc/2 fill rows 0..q-1 (plus a
+# single straggler at bin n_sc/2, row q col 0, displaced by the unused DC
+# bin) and bins n_fft-n_sc/2.. fill rows R-q..R-1, with q = (n_sc/2)/R.
+# So the first matmul stage contracts a [2q+1, R] block instead of [R, R]
+# (the straggler folded in as one extra row holding only X[n_sc/2]) and
+# the last stage computes only 2q+1 output columns (the extra column is
+# the straggler bin) — for the canonical n_sc = n_fft/2 this halves the
+# first/last stage FLOPs and, more importantly on an HBM-bound chain,
+# never materializes the full-band [.., n_fft] frames on either side.
+# Folding the stragglers into the GEMMs (rather than a scatter-add +
+# separate dot) keeps every reduction inside a fixed-shape contraction,
+# so results stay bit-identical across shardings/batch layouts.
+# ---------------------------------------------------------------------------
+
+
+def sc_prune_eligible(n_fft: int, n_sc: int) -> bool:
+    """Pruned-chain eligibility: square n_fft and half-band rows aligned
+    to whole [R, R] rows."""
+    r = square_radix(n_fft)
+    return (r is not None and n_sc < n_fft and n_sc % 2 == 0
+            and (n_sc // 2) % r == 0 and (n_sc // 2) >= r)
+
+
+@functools.lru_cache(maxsize=None)
+def _pruned_tables(n: int, n_sc: int, dtype_name: str):
+    """Karatsuba-prepared constants for the pruned chain."""
+    r = square_radix(n)
+    q = (n_sc // 2) // r
+    w, wc, tw, twc = _tables_np(n)
+    dt = np.dtype(jnp.bfloat16.dtype) if dtype_name == "bfloat16" else np.float32
+    # occupied rows/cols plus the straggler row/col q (bin n_sc/2); q never
+    # collides with the occupied set since n_sc < n_fft
+    rows = np.concatenate([np.arange(q), np.arange(r - q, r), [q]])
+
+    def prep(m):
+        return (np.asarray(m.real, dt), np.asarray(m.imag - m.real, dt),
+                np.asarray(m.real + m.imag, dt))
+
+    return {
+        "q": q,
+        "wc_rows": prep(wc[rows, :]),            # [2q+1, R] input-side block
+        "w_cols": prep(w[:, rows]),              # [R, 2q+1] output-side block
+        "w": prep(w), "wc": prep(wc),
+        "tw": (np.asarray(tw.real, dt), np.asarray(tw.imag, dt)),
+        "twc": (np.asarray(twc.real, dt), np.asarray(twc.imag, dt)),
+    }
+
+
+def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
+                                storage: str = "float32") -> Array:
+    """Planar fused ``extract_sc(FFT(pa(IFFT(map_sc(d)))))`` taking and
+    returning ``[..., n_sc]`` data bins in the reference's extract order
+    ``[negative bins | positive bins]`` (``reference/modulation.py:288-293``)
+    — the full-band frame is never formed. Exactly equivalent to
+    ``map_subcarriers -> fused chain -> extract_subcarriers`` (the pruned
+    rows/columns only ever multiply zeros). Requires
+    :func:`sc_prune_eligible`."""
+    n_sc = data_sc.shape[-1]
+    r = square_radix(n_fft)
+    assert sc_prune_eligible(n_fft, n_sc), (n_fft, n_sc)
+    h = n_sc // 2
+    bf16 = storage == "bfloat16"
+    st = jnp.bfloat16 if bf16 else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
+    tabs = _pruned_tables(n_fft, n_sc, "bfloat16" if bf16 else "float32")
+    q = tabs["q"]
+    wc_rows3 = tuple(jnp.asarray(t) for t in tabs["wc_rows"])
+    w_cols3 = tuple(jnp.asarray(t) for t in tabs["w_cols"])
+    wc3 = tuple(jnp.asarray(t) for t in tabs["wc"])
+    w3 = tuple(jnp.asarray(t) for t in tabs["w"])
+    twcr, twci = (jnp.asarray(t).astype(jnp.float32) for t in tabs["twc"])
+    twr, twi = (jnp.asarray(t).astype(jnp.float32) for t in tabs["tw"])
+
+    lead = data_sc.shape[:-1]
+    dr = jnp.real(data_sc).astype(jnp.float32)
+    di = jnp.imag(data_sc).astype(jnp.float32)
+    neg_r, pos_r = dr[..., :h], dr[..., h:]
+    neg_i, pos_i = di[..., :h], di[..., h:]
+    # input block rows: [pos bins 0..h-1 (bin 0 = DC = 0) | neg bins |
+    # straggler row: bin n_sc/2 at col 0, zeros elsewhere]
+    zero = jnp.zeros((*lead, 1), jnp.float32)
+    pad = jnp.zeros((*lead, r - 1), jnp.float32)
+    xr = jnp.concatenate([zero, pos_r[..., : h - 1], neg_r,
+                          pos_r[..., h - 1:], pad], axis=-1)
+    xi = jnp.concatenate([zero, pos_i[..., : h - 1], neg_i,
+                          pos_i[..., h - 1:], pad], axis=-1)
+    xr = xr.reshape(*lead, 2 * q + 1, r).astype(st)
+    xi = xi.reshape(*lead, 2 * q + 1, r).astype(st)
+
+    # IFFT: stage 1 contracts only the occupied+straggler rows
+    br, bi = _kara(xr, xi, wc_rows3, _CA, prec)
+    br, bi = _cmul_planar(br, bi, twcr, twci)
+    pr, pi = _kara(br.astype(st), bi.astype(st), wc3, _CA, prec)
+
+    pr, pi = pa_fn_planar(pr, pi)
+
+    # FFT back; final stage computes only the data+straggler columns
+    er, ei = _kara(pr.astype(st), pi.astype(st), w3, _CB, prec)
+    er, ei = _cmul_planar(er, ei, twr, twi)
+    fr, fi = _kara(er.astype(st), ei.astype(st), w_cols3, _CA, prec)
+    # fr/fi: [.., R(k1), 2q+1(k2-sel)]; col 2q is the straggler bin n_sc/2
+    sor, soi = fr[..., 0, 2 * q], fi[..., 0, 2 * q]
+    fr = jnp.swapaxes(fr[..., : 2 * q], -1, -2).astype(jnp.float32)
+    fi = jnp.swapaxes(fi[..., : 2 * q], -1, -2).astype(jnp.float32)
+    fr = fr.reshape(*lead, 2 * h)                      # bins [0..h-1 | N-h..N-1]
+    fi = fi.reshape(*lead, 2 * h)
+    # extract order [neg | pos]: neg = bins N-h.., pos = bins 1..h
+    outr = jnp.concatenate([fr[..., h:], fr[..., 1:h], sor[..., None]], axis=-1)
+    outi = jnp.concatenate([fi[..., h:], fi[..., 1:h], soi[..., None]], axis=-1)
+    return jax.lax.complex(outr.astype(jnp.float32),
+                           outi.astype(jnp.float32)).astype(data_sc.dtype)
+
+
 def ifft_mxu(x_fd: Array, precision=_DEFAULT_PRECISION) -> Array:
     """Natural-order ortho IFFT over the last axis via MXU matmuls
     (drop-in for ``jnp.fft.ifft(norm="ortho")`` when N is a square)."""

@@ -69,7 +69,7 @@ class SweepResult:
 def run_point(round_fn, key, snr_db: float, *, n_counters: int,
               n_bits_per_frame: int, batch: int, n_err_min: int,
               bits_sent_max: int, max_rounds: int = 100_000,
-              pipeline_depth: int = 2) -> PointResult:
+              pipeline_depth: int = 3) -> PointResult:
     """Accumulate rounds until every counter hit a stop criterion.
 
     ``round_fn(key, snr_db) -> FrameCounters`` with int32 sums per counter.
@@ -79,7 +79,10 @@ def run_point(round_fn, key, snr_db: float, *, n_counters: int,
     Rounds are **pipelined**: up to ``pipeline_depth`` rounds are kept in
     flight on the device, so the host-side fetch (a tunnel round-trip on
     remote TPUs) and counter bookkeeping of round ``k`` overlap with the
-    device executing round ``k+1``. The stop check uses the counters
+    device executing round ``k+1``. Depth 3 (measured on the axon v5e:
+    9.8k -> 11.2k frames/s at batch 1024 vs depth 2) keeps the device
+    busy even when one fetch straddles two round times; deeper adds
+    nothing. The stop check uses the counters
     accumulated so far — the same cooperative staleness as the reference's
     workers re-reading the shared arrays without the lock
     (``reference/mp_model.py:177-187``): at most ``pipeline_depth - 1``

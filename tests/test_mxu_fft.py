@@ -125,3 +125,78 @@ def test_link_counters_bf16_storage_within_mc_noise():
         totals[storage] = np.asarray(c.dist_err).sum(axis=0)
     a, b = totals["float32"].astype(float), totals["bfloat16"].astype(float)
     assert np.all(np.abs(a - b) <= 0.05 * np.maximum(a, 100)), (a, b)
+
+
+def _sc_chain_ref(data_sc, n_fft, pa_model="softlim", sat=0.31):
+    fd = ofdm.map_subcarriers(data_sc, n_fft)
+    fd_dist = ofdm.td_to_fd(pa.apply_pa(ofdm.fd_to_td(fd), pa_model, sat,
+                                        1.1, 0.0))
+    return ofdm.extract_subcarriers(fd_dist, data_sc.shape[-1])
+
+
+@pytest.mark.parametrize("n_fft,n_sc", [(4096, 2048), (1024, 512), (1024, 256)])
+def test_sc_pruned_chain_matches_full_band(n_fft, n_sc):
+    """Guard-band-pruned fused chain == map -> full chain -> extract
+    (the pruned rows/columns only ever multiply zeros), including the
+    straggler bin n_sc/2 displaced across the [R, R] row boundary by the
+    unused DC bin."""
+    assert mxu_fft.sc_prune_eligible(n_fft, n_sc)
+    rng = np.random.default_rng(11)
+    d = rng.standard_normal((2, 3, n_sc)) + 1j * rng.standard_normal((2, 3, n_sc))
+    d = jnp.asarray(d.astype(np.complex64))
+    ref = jax.jit(lambda x: _sc_chain_ref(x, n_fft))(d)
+    got = jax.jit(lambda x: transmit.ifft_pa_fft_sc(
+        x, n_fft, "softlim", 0.31, use_mxu_fft=True,
+        mxu_storage="float32"))(d)
+    assert float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref)) < 1e-5
+
+
+def test_sc_pruned_chain_straggler_only():
+    """A frame with energy ONLY in the straggler bin (last positive data
+    subcarrier = FFT bin n_sc/2) must round-trip exactly through both the
+    rank-1 input correction and the output straggler dot."""
+    n_fft, n_sc = 1024, 512
+    d = jnp.zeros((n_sc,), jnp.complex64).at[-1].set(2.0 - 1.0j)
+    ref = jax.jit(lambda x: _sc_chain_ref(x, n_fft, "none"))(d)
+    got = jax.jit(lambda x: transmit.ifft_pa_fft_sc(
+        x, n_fft, "none", 1.0, use_mxu_fft=True, mxu_storage="float32"))(d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # identity PA: output == input
+    np.testing.assert_allclose(np.asarray(got), np.asarray(d), atol=1e-5)
+
+
+def test_sc_pruned_ineligible_falls_back():
+    # n_sc/2 not a multiple of R -> full-band fallback, same result
+    n_fft, n_sc = 1024, 300
+    assert not mxu_fft.sc_prune_eligible(n_fft, n_sc)
+    rng = np.random.default_rng(5)
+    d = jnp.asarray((rng.standard_normal((2, n_sc))
+                     + 1j * rng.standard_normal((2, n_sc))).astype(np.complex64))
+    ref = _sc_chain_ref(d, n_fft)
+    got = transmit.ifft_pa_fft_sc(d, n_fft, "softlim", 0.31,
+                                  use_mxu_fft=True, mxu_storage="float32")
+    assert float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref)) < 1e-5
+
+
+def test_sc_pruned_per_antenna_sat_and_toi():
+    n_fft, n_sc = 1024, 512
+    rng = np.random.default_rng(13)
+    d = jnp.asarray((rng.standard_normal((4, 3, n_sc))
+                     + 1j * rng.standard_normal((4, 3, n_sc))).astype(np.complex64))
+    sat = jnp.asarray([0.2, 0.5, 1.3])
+    ref = jax.jit(lambda x: ofdm.extract_subcarriers(ofdm.td_to_fd(
+        transmit.pa_transfer(ofdm.fd_to_td(ofdm.map_subcarriers(x, n_fft)),
+                             "softlim", sat)), n_sc))(d)
+    got = jax.jit(lambda x: transmit.ifft_pa_fft_sc(
+        x, n_fft, "softlim", sat, use_mxu_fft=True,
+        mxu_storage="float32"))(d)
+    assert float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref)) < 1e-5
+    # TOI: cubic coefficient must reach the pruned chain
+    coeff = 0.05
+    ref_t = jax.jit(lambda x: ofdm.extract_subcarriers(ofdm.td_to_fd(
+        pa.apply_pa(ofdm.fd_to_td(ofdm.map_subcarriers(x, n_fft)),
+                    "toi", 1.0, 1.1, coeff)), n_sc))(d)
+    got_t = jax.jit(lambda x: transmit.ifft_pa_fft_sc(
+        x, n_fft, "toi", 1.0, toi_coeff=coeff, use_mxu_fft=True,
+        mxu_storage="float32"))(d)
+    assert float(jnp.linalg.norm(got_t - ref_t) / jnp.linalg.norm(ref_t)) < 1e-5
