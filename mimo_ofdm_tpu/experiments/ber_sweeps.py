@@ -303,10 +303,22 @@ def ldpc_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
                    n_iters=8, code_rate=0.5, ldpc_iters=25, ebn0_min=5.0,
                    ebn0_max=15.0, ebn0_step=1.0, n_err_min=10_000,
                    bits_sent_max=5_000_000, batch=16, seed=0, save_csv=True,
-                   verbose=True, small=False):
+                   verbose=True, small=False, family="nr"):
     """Coded BER vs Eb/N0 with CNC/MCNC inside the LDPC loop
     (``reference/main_cnc_mcnc_w_ldpc/main_mp_ldpc_cnc_ber_vs_ebn0.py``
-    driving ``LinkLdpc``)."""
+    driving ``LinkLdpc``). ``family="nr"`` (default) runs the 5G-NR
+    BG1/BG2 code through the rate-matched transport chain — the
+    reference's actual code; ``family="ira"`` runs the self-contained
+    raw-codeword QC code (one unsegmented codeword filling the frame,
+    no CRC/rate matching — a diagnostic, not a reference-parity path)."""
+    if family == "nr":
+        return transport_coded_ber(
+            channel=channel, algorithm=algorithm, n_ant=n_ant,
+            ibo_db=ibo_db, n_iters=n_iters, code_rate=code_rate,
+            ldpc_iters=ldpc_iters, exact_payload=True,
+            ebn0_min=ebn0_min, ebn0_max=ebn0_max, ebn0_step=ebn0_step,
+            n_err_min=n_err_min, bits_sent_max=bits_sent_max, batch=batch,
+            seed=seed, save_csv=save_csv, verbose=verbose, small=small)
     import jax
     from mimo_ofdm_tpu.models.link_ldpc import (code_for_modem,
                                                 make_coded_round_fn)
@@ -343,19 +355,27 @@ def ldpc_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
 @register("transport_coded_ber")
 def transport_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
                         n_iters=8, code_rate=0.5, n_blocks=4, rv=0,
-                        ldpc_iters=25, ebn0_min=5.0, ebn0_max=15.0,
+                        ldpc_iters=25, ldpc_algorithm="minsum",
+                        exact_payload=False, csv_kind=None,
+                        ebn0_min=5.0, ebn0_max=15.0,
                         ebn0_step=1.0, n_err_min=10_000,
                         bits_sent_max=5_000_000, batch=16, seed=0,
                         save_csv=True, verbose=True, small=False):
     """Coded BER + BLER vs Eb/N0 with the full transport chain — CRC24A,
-    code-block segmentation (+CRC24B), QC-LDPC and circular-buffer rate
-    matching — and CNC/MCNC inside the decoding loop (the complete native
-    equivalent of ``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py``'s
-    MATLAB DL-SCH pipeline)."""
+    code-block segmentation (+CRC24B), 5G-NR BG1/BG2 LDPC (TS 38.212) and
+    circular-buffer rate matching — and CNC/MCNC inside the decoding loop
+    (the complete native equivalent of
+    ``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py``'s MATLAB DL-SCH
+    pipeline). ``exact_payload`` sizes the transport block as
+    ``A = rate * n_bits_per_ofdm_sym`` exactly (TB CRC on top), the
+    reference's convention (``mp_ldpc_model.py:99-100``); ``csv_kind``
+    overrides the CSV name prefix."""
     import time
     import jax
     from mimo_ofdm_tpu.models.link_ldpc import (make_transport_round_fn,
+                                                select_base_graph,
                                                 transport_chain_for_modem)
+    from mimo_ofdm_tpu.ops.transport import make_nr_transport_chain
     modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
                         n_sub_carr=128 if small else 2048,
                         cp_len=16 if small else 128)
@@ -363,14 +383,21 @@ def transport_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
                      channel=ChannelConfig(model=channel), precoding="mrt",
                      pa=PaConfig(model="softlim", ibo_db=ibo_db),
                      rx=RxConfig(algorithm=algorithm))
-    chain = transport_chain_for_modem(cfg, code_rate=code_rate,
-                                      n_blocks=n_blocks, rv=rv)
+    if exact_payload:
+        a = int(round(code_rate * modem.n_bits_per_ofdm_sym))
+        chain = make_nr_transport_chain(modem.n_bits_per_ofdm_sym,
+                                        bg=select_base_graph(a, code_rate),
+                                        a=a, rv=rv)
+    else:
+        chain = transport_chain_for_modem(cfg, code_rate=code_rate,
+                                          n_blocks=n_blocks, rv=rv)
     if verbose:
         print(f"transport chain: A={chain.a} C={chain.c} K'={chain.k_prime} "
               f"filler={chain.n_filler} E_cb={chain.e_cb} "
               f"rate={chain.coded_rate:.3f}")
     round_fn = make_transport_round_fn(cfg, n_iters, batch, chain,
-                                       ldpc_iters=ldpc_iters)
+                                       ldpc_iters=ldpc_iters,
+                                       ldpc_algorithm=ldpc_algorithm)
     ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
     snrs = ebn0_to_snr(ebn0, modem.n_sub_carr, modem.n_sub_carr,
                        modem.constel_size)
@@ -407,13 +434,43 @@ def transport_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
                   f"{np.array2string(ber[:, i], precision=4)}  BLER="
                   f"{np.array2string(bler[:, i], precision=3)}")
     if save_csv:
-        base = (f"transport_r{code_rate:.2f}_C{chain.c}_rv{rv}", algorithm,
-                channel, n_ant, ibo_db, ebn0, list(range(1, n_iters + 1)))
+        kind = csv_kind or f"transport_r{code_rate:.2f}_C{chain.c}_rv{rv}"
+        base = (kind, algorithm, channel, n_ant, ibo_db, ebn0,
+                list(range(1, n_iters + 1)))
         results.save_ber_sweep(ebn0, ber, results.ber_sweep_filename(*base))
         results.save_ber_sweep(
             ebn0, bler, results.ber_sweep_filename(base[0] + "_bler",
                                                    *base[1:]))
     return ebn0, ber, bler
+
+
+@register("ldpc_ref_ber")
+def ldpc_ref_ber(code_rate_str="1/2", channel="los", algorithm="cnc",
+                 n_ant=16, ibo_db=0.0, n_iters=3, ldpc_iters=12,
+                 ebn0_min=-5.0, ebn0_max=15.0, ebn0_step=2.0,
+                 n_err_min=20_000, bits_sent_max=10_000_000, batch=16,
+                 seed=0, save_csv=True, verbose=True, small=False):
+    """Reference-parity 5G-NR LDPC coded BER vs Eb/N0 — the exact
+    configuration of ``reference/main_cnc_mcnc_w_ldpc/
+    main_mp_ldpc_cnc_ber_vs_ebn0.py``: payload ``A = rate *
+    n_bits_per_ofdm_sym`` with the TB CRC on top (``mp_ldpc_model.py:
+    99-100``), 38.212 base-graph selection (``nrDLSCHInfo``), 12
+    belief-propagation iterations (``nrLDPCDecode`` default algorithm,
+    ``mp_ldpc_model.py:174-175``), BER rows = clean run + CNC taps
+    ``0..n_iters``. Writes the reference CSV name
+    ``ldpc_<num>_<den>_ber_vs_ebn0_...`` so the committed ground truth in
+    ``reference/figs/csv_results/ldpc_*`` is directly comparable."""
+    num, den = code_rate_str.split("/")
+    rate = float(num) / float(den)
+    ebn0, ber, _ = transport_coded_ber(
+        channel=channel, algorithm=algorithm, n_ant=n_ant, ibo_db=ibo_db,
+        n_iters=n_iters, code_rate=rate, rv=0, ldpc_iters=ldpc_iters,
+        ldpc_algorithm="sumprod", exact_payload=True,
+        csv_kind=f"ldpc_{num}_{den}_ber_vs_ebn0",
+        ebn0_min=ebn0_min, ebn0_max=ebn0_max, ebn0_step=ebn0_step,
+        n_err_min=n_err_min, bits_sent_max=bits_sent_max, batch=batch,
+        seed=seed, save_csv=save_csv, verbose=verbose, small=small)
+    return ebn0, ber
 
 
 @register("multiuser_ber")

@@ -179,6 +179,7 @@ class TransportFrameCounters(NamedTuple):
 
 def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
                             chain, ldpc_iters: int = 25, *,
+                            ldpc_algorithm: str = "minsum",
                             incl_clean: bool = True, reroll: bool = True,
                             dtype=jnp.complex64):
     """Coded frame with the full transport chain — CRC24A attach, code-block
@@ -207,7 +208,8 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
     def decode_count(sym, payload, snr_db):
         nv = 2.0 * avg_sym_pow / (10.0 ** (snr_db / 10.0))
         llr = qam.soft_llr(sym, m, nv)
-        rx, ok = tp.transport_decode(chain, -llr, n_iters=ldpc_iters)
+        rx, ok = tp.transport_decode(chain, -llr, n_iters=ldpc_iters,
+                                     algorithm=ldpc_algorithm)
         bit_err = bits_ops.count_bit_errors(payload, rx)
         blk_err = (~ok).astype(jnp.int32)
         return bit_err, blk_err
@@ -270,11 +272,13 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
 
 def make_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
                             chain, ldpc_iters: int = 25, *,
+                            ldpc_algorithm: str = "minsum",
                             incl_clean: bool = True, reroll: bool = True,
                             dtype=jnp.complex64):
     """Jitted transport-coded Monte-Carlo round summed over ``batch``
     frames."""
     frame_fn = make_transport_frame_fn(cfg, n_iters, chain, ldpc_iters,
+                                       ldpc_algorithm=ldpc_algorithm,
                                        incl_clean=incl_clean, reroll=reroll,
                                        dtype=dtype)
     tx_pos = link_static(cfg, dtype)[0]

@@ -188,8 +188,13 @@ def _decode_tables(code: QcLdpcCode):
 
 
 def decode(code: QcLdpcCode, llr: Array, n_iters: int = 25,
-           normalization: float = 0.75) -> Array:
-    """Normalized min-sum BP decode.
+           normalization: float = 0.75,
+           algorithm: str = "minsum") -> Array:
+    """Flooding BP decode: normalized min-sum (default) or exact
+    sum-product (``algorithm="sumprod"``, the tanh rule in the stable
+    phi-function form — matches MATLAB ``nrLDPCDecode``'s default
+    'Belief propagation', ``reference/main_cnc_mcnc_w_ldpc/
+    mp_ldpc_model.py:174-175``, to within float32 clamping).
 
     ``llr [..., N]``: positive = bit 0 (decoder convention; the reference
     negates the demapper's positive=bit-1 LLRs before decoding,
@@ -210,22 +215,33 @@ def decode(code: QcLdpcCode, llr: Array, n_iters: int = 25,
         var_total = llr + jnp.sum(per_var, axis=-1)            # [..., n_var]
         v2c = var_total[..., edge_var] - c2v                   # [..., n_edges]
 
-        # check update over dense rows: signs + two smallest magnitudes
+        # check update over dense rows: signs + magnitudes
         row = v2c[..., edge_id]                                # [..., n_chk, dc]
         row = jnp.where(chk_mask, row, jnp.inf)
         sign_row = jnp.where(chk_mask, jnp.sign(row), 1.0)
         sign_row = jnp.where(sign_row == 0, 1.0, sign_row)
         prod_sign = jnp.prod(sign_row, axis=-1, keepdims=True)
         mag = jnp.abs(row)
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        arg1 = jnp.argmin(mag, axis=-1)
-        mag2 = jnp.where(
-            jax.nn.one_hot(arg1, mag.shape[-1], dtype=bool), jnp.inf, mag)
-        min2 = jnp.min(mag2, axis=-1, keepdims=True)
-        use_min = jnp.where(
-            jax.nn.one_hot(arg1, mag.shape[-1], dtype=bool), min2, min1)
-        out_sign = prod_sign * sign_row
-        new_row = normalization * out_sign * use_min
+        if algorithm == "sumprod":
+            # phi(x) = -log(tanh(x/2)) is self-inverse; the extrinsic
+            # magnitude is phi(sum_others phi(|v2c|)). Clamps keep float32
+            # away from phi's poles at 0 and inf.
+            m = jnp.clip(mag, 1e-6, 30.0)
+            phi = -jnp.log(jnp.tanh(m / 2.0))
+            phi = jnp.where(chk_mask, phi, 0.0)
+            excl = jnp.sum(phi, axis=-1, keepdims=True) - phi
+            excl = jnp.clip(excl, 1e-6, 30.0)
+            out_mag = -jnp.log(jnp.tanh(excl / 2.0))
+            new_row = prod_sign * sign_row * out_mag
+        else:
+            min1 = jnp.min(mag, axis=-1, keepdims=True)
+            arg1 = jnp.argmin(mag, axis=-1)
+            mag2 = jnp.where(
+                jax.nn.one_hot(arg1, mag.shape[-1], dtype=bool), jnp.inf, mag)
+            min2 = jnp.min(mag2, axis=-1, keepdims=True)
+            use_min = jnp.where(
+                jax.nn.one_hot(arg1, mag.shape[-1], dtype=bool), min2, min1)
+            new_row = normalization * prod_sign * sign_row * use_min
         new_row = jnp.where(chk_mask, new_row, 0.0)
         # gather rows back into the flat edge vector via the inverse map
         c2v_new = new_row.reshape(*lead, -1)[..., edge_pos]

@@ -230,7 +230,8 @@ def transport_encode(chain: TransportChain, payload: Array) -> Array:
 
 
 def transport_decode(chain: TransportChain, llr: Array,
-                     n_iters: int = 25) -> tuple[Array, Array]:
+                     n_iters: int = 25,
+                     algorithm: str = "minsum") -> tuple[Array, Array]:
     """``[..., E_total]`` LLRs (positive = bit 0) -> ``(payload [..., A],
     tb_crc_ok [...])``. De-rate-match scatter-adds repeated bits; filler
     positions get a large known-zero LLR."""
@@ -241,7 +242,8 @@ def transport_decode(chain: TransportChain, llr: Array,
     buf = jnp.zeros((*lead, chain.c, code.n), jnp.float32)
     buf = buf.at[..., sel].add(per_cb)
     buf = jnp.where(filler, _FILLER_LLR, buf)
-    info = ldpc.decode(code, buf, n_iters=n_iters)         # [..., C, K]
+    info = ldpc.decode(code, buf, n_iters=n_iters,
+                       algorithm=algorithm)                # [..., C, K]
     info = info[..., : chain.k_prime]
     if chain.cb_crc:
         info = info[..., : chain.k_prime - 24]             # strip CRC24B

@@ -18,8 +18,14 @@ from pathlib import Path
 
 import numpy as np
 
-DEFAULT_RESULTS_DIR = os.environ.get("MIMO_OFDM_TPU_RESULTS",
+DEFAULT_RESULTS_DIR = None  # sentinel: resolve MIMO_OFDM_TPU_RESULTS lazily
+
+
+def _resolve_dir(results_dir) -> Path:
+    if results_dir is None:
+        results_dir = os.environ.get("MIMO_OFDM_TPU_RESULTS",
                                      "figs/csv_results")
+    return Path(results_dir)
 
 
 def save_to_csv(data_lst: list, filename: str,
@@ -27,7 +33,7 @@ def save_to_csv(data_lst: list, filename: str,
     """Write a list of flat vectors as CSV rows
     (``reference/utilities.py:342-352``). Creates the directory if needed
     and returns the written path."""
-    results_dir = Path(results_dir)
+    results_dir = _resolve_dir(results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
     path = results_dir / f"{filename}.csv"
     with open(path, "w", newline="") as f:
@@ -39,7 +45,7 @@ def save_to_csv(data_lst: list, filename: str,
 def read_from_csv(filename: str,
                   results_dir: str | Path = DEFAULT_RESULTS_DIR) -> list:
     """Read CSV rows as float lists (``reference/utilities.py:355-365``)."""
-    path = Path(results_dir) / f"{filename}.csv"
+    path = _resolve_dir(results_dir) / f"{filename}.csv"
     with open(path, newline="") as f:
         reader = csv.reader(f, quoting=csv.QUOTE_NONNUMERIC)
         return list(reader)

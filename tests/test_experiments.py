@@ -71,3 +71,19 @@ def test_cli_help(capsys):
     assert main(["--help"]) == 0
     out = capsys.readouterr().out
     assert "miso_ber_vs_ebn0" in out
+
+
+@pytest.mark.slow
+def test_ldpc_ref_ber_experiment(tmp_path, monkeypatch):
+    """Reference-parity NR coded sweep (reference/main_cnc_mcnc_w_ldpc/
+    main_mp_ldpc_cnc_ber_vs_ebn0.py): exact-payload sizing, sumprod
+    decode, reference CSV name ldpc_<num>_<den>_ber_vs_ebn0_*."""
+    monkeypatch.setenv("MIMO_OFDM_TPU_RESULTS", str(tmp_path))
+    ebn0, ber = EXPERIMENTS["ldpc_ref_ber"](
+        code_rate_str="1/2", n_ant=4, n_iters=2, ebn0_min=0.0,
+        ebn0_max=8.0, ebn0_step=4.0, n_err_min=50, bits_sent_max=40_000,
+        batch=4, verbose=False, save_csv=True, small=True)
+    assert ber.shape == (4, 3)          # clean + taps 0..2
+    assert ber[0, -1] <= ber[1, -1]     # clean <= distorted at high Eb/N0
+    hits = list(tmp_path.glob("ldpc_1_2_ber_vs_ebn0_cnc_los_nant4_*.csv"))
+    assert len(hits) == 1

@@ -152,3 +152,30 @@ def test_transport_coded_link_nr_family():
     assert dist[1:].min() < dist[0]                    # CNC helps
     blk = np.asarray(c.dist_blk)
     assert np.all(blk[np.asarray(c.dist_err) == 0] == 0)
+
+
+def test_sumprod_decode_beats_minsum_in_waterfall():
+    """The exact sum-product check rule (MATLAB nrLDPCDecode's default
+    'Belief propagation', reference/main_cnc_mcnc_w_ldpc/
+    mp_ldpc_model.py:174-175) must decode at least as well as normalized
+    min-sum in the waterfall, and both must round-trip noiselessly."""
+    from mimo_ofdm_tpu.ops import transport as tp
+    chain = tp.make_nr_transport_chain(768, bg=2, a=384, rv=0)
+    rng = np.random.default_rng(0)
+    payload = jnp.asarray(rng.integers(0, 2, (256, chain.a)), jnp.int8)
+    coded = tp.transport_encode(chain, payload)
+    x = 1.0 - 2.0 * np.asarray(coded, np.float32)
+    sigma = float(np.sqrt(1.0 / (2 * 10 ** (1.5 / 10))))
+    y = x + sigma * rng.standard_normal(x.shape).astype(np.float32)
+    llr = jnp.asarray(2 * y / sigma ** 2)
+    errs = {}
+    for alg in ("minsum", "sumprod"):
+        dec, _ = tp.transport_decode(chain, llr, n_iters=12, algorithm=alg)
+        errs[alg] = int(jnp.sum(dec != payload))
+        # noiseless: exact round-trip
+        dec0, ok0 = tp.transport_decode(chain, jnp.asarray(40.0 * x),
+                                        n_iters=4, algorithm=alg)
+        np.testing.assert_array_equal(np.asarray(dec0), np.asarray(payload))
+        assert bool(ok0.all())
+    assert errs["sumprod"] <= errs["minsum"]
+    assert errs["sumprod"] < 0.5 * 256 * chain.a  # actually decoding
