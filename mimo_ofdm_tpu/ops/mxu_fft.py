@@ -202,9 +202,7 @@ def fused_ifft_pa_fft_planar(x_fd: Array, pa_fn_planar, *,
                           twci.astype(jnp.float32))
     pr, pi = _kara(br.astype(st), bi.astype(st), wc3, _CA, prec)
 
-    # bf16 storage: PA planes (the largest chain tensors) stored bf16 too;
-    # the PA arithmetic itself stays f32 (ops/pa.apply_pa_planar).
-    pr, pi = pa_fn_planar(pr.astype(st), pi.astype(st))
+    pr, pi = pa_fn_planar(pr, pi)
 
     # FFT back:  Pt' [n1, n2] --CB W--> D [n1, k1] --*TW--> --CA W-->
     # F [k1, k2]; natural spectrum = F^T (the single unavoidable transpose,
@@ -315,19 +313,12 @@ def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
     xr = xr.reshape(*lead, 2 * q + 1, r).astype(st)
     xi = xi.reshape(*lead, 2 * q + 1, r).astype(st)
 
-    # IFFT: stage 1 contracts only the occupied+straggler rows. Under bf16
-    # storage EVERY inter-stage tensor (twiddle products and the PA planes,
-    # the largest arrays in the chain) is stored bf16 — matmul accumulation
-    # and the PA/twiddle arithmetic stay f32, so only the inter-fusion
-    # traffic narrows (rounding ~2^-8 relative per stage, -40 dB — far
-    # below the PA distortion and thermal noise everywhere the reference
-    # sweeps; gated by the Monte-Carlo equivalence test in
-    # tests/test_mxu_fft.py).
+    # IFFT: stage 1 contracts only the occupied+straggler rows
     br, bi = _kara(xr, xi, wc_rows3, _CA, prec)
     br, bi = _cmul_planar(br, bi, twcr, twci)
     pr, pi = _kara(br.astype(st), bi.astype(st), wc3, _CA, prec)
 
-    pr, pi = pa_fn_planar(pr.astype(st), pi.astype(st))
+    pr, pi = pa_fn_planar(pr, pi)
 
     # FFT back; final stage computes only the data+straggler columns
     er, ei = _kara(pr.astype(st), pi.astype(st), w3, _CB, prec)
