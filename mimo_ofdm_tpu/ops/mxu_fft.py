@@ -223,40 +223,83 @@ def fused_ifft_pa_fft_planar(x_fd: Array, pa_fn_planar, *,
 # data on only ``n_sc`` of ``n_fft`` bins (DC and the guard bins are zero,
 # ``reference/modulation.py:264-267``) and the FFT output is immediately
 # stripped back to the data bins (``reference/corrector.py:66``,
-# ``reference/mp_model.py:299``). In the [R, R] digit decomposition the
-# occupied bins are *whole rows*: bins 1..n_sc/2 fill rows 0..q-1 (plus a
-# single straggler at bin n_sc/2, row q col 0, displaced by the unused DC
-# bin) and bins n_fft-n_sc/2.. fill rows R-q..R-1, with q = (n_sc/2)/R.
-# So the first matmul stage contracts a [2q+1, R] block instead of [R, R]
-# (the straggler folded in as one extra row holding only X[n_sc/2]) and
-# the last stage computes only 2q+1 output columns (the extra column is
-# the straggler bin) — for the canonical n_sc = n_fft/2 this halves the
-# first/last stage FLOPs and, more importantly on an HBM-bound chain,
-# never materializes the full-band [.., n_fft] frames on either side.
+# ``reference/mp_model.py:299``). In an [n2 rows, n1 cols] digit
+# decomposition (k = k1 + n1 k2) the occupied bins are *whole rows*: bins
+# 1..n_sc/2 fill rows 0..q-1 (plus a single straggler at bin n_sc/2, row q
+# col 0, displaced by the unused DC bin) and bins n_fft-n_sc/2.. fill rows
+# n2-q..n2-1, with q = (n_sc/2)/n1. So the first matmul stage contracts a
+# [2q+1, n2] block instead of [n2, n2] (the straggler folded in as one
+# extra row holding only X[n_sc/2]) and the last stage computes only 2q+1
+# output columns (the extra column is the straggler bin) — for the
+# canonical n_sc = n_fft/2 this halves the first/last stage FLOPs and,
+# more importantly on an HBM-bound chain, never materializes the full-band
+# [.., n_fft] frames on either side.
 # Folding the stragglers into the GEMMs (rather than a scatter-add +
 # separate dot) keeps every reduction inside a fixed-shape contraction,
 # so results stay bit-identical across shardings/batch layouts.
 # ---------------------------------------------------------------------------
 
 
-def sc_prune_eligible(n_fft: int, n_sc: int) -> bool:
-    """Pruned-chain eligibility: square n_fft and half-band rows aligned
-    to whole [R, R] rows."""
+def prune_factors(n_fft: int, n_sc: int) -> tuple[int, int] | None:
+    """``(n1, n2)`` factorization for the pruned chain (``n1`` = row
+    length = lane dim of every stage tensor, ``n2 = n_fft / n1`` = rows),
+    or ``None`` when ineligible.
+
+    Prefers the square R x R split when ``n_fft`` is a perfect square:
+    every stage tensor is then [R, R] and the measured end-to-end link
+    throughput beats the 128-lane rectangular split by ~11% (11.3k vs
+    10.0k frames/s on the canonical bench) — the rect chain's pruned
+    stages carry 32- and (2q+1)-lane dims that pad to the 128-lane tile.
+    An isolated-chain microbenchmark (``scripts/probe_layout.py``) ranks
+    them the other way; the link-level A/B is what counts. For NON-square
+    ``n_fft`` (2048, 8192, ...) the ``n1 = 128`` rectangular split is the
+    only MXU option and replaces what used to be a jnp.fft fallback."""
+    if n_sc >= n_fft or n_sc % 2:
+        return None
+    h = n_sc // 2
     r = square_radix(n_fft)
-    return (r is not None and n_sc < n_fft and n_sc % 2 == 0
-            and (n_sc // 2) % r == 0 and (n_sc // 2) >= r)
+    if r is not None and h % r == 0 and h >= r:
+        return r, r
+    for n1 in (128,):
+        n2 = n_fft // n1
+        if (n_fft % n1 == 0 and n2 % 8 == 0 and h % n1 == 0
+                and h >= n1 and 2 * (h // n1) + 1 <= n2):
+            return n1, n2
+    return None
+
+
+def sc_prune_eligible(n_fft: int, n_sc: int) -> bool:
+    """Pruned-chain eligibility: some [n2 rows, n1 cols] digit split with
+    the half-band aligned to whole rows."""
+    return prune_factors(n_fft, n_sc) is not None
 
 
 @functools.lru_cache(maxsize=None)
-def _pruned_tables(n: int, n_sc: int, dtype_name: str):
-    """Karatsuba-prepared constants for the pruned chain."""
-    r = square_radix(n)
-    q = (n_sc // 2) // r
-    w, wc, tw, twc = _tables_np(n)
+def _pruned_tables(n: int, n_sc: int, n1: int, dtype_name: str):
+    """Karatsuba-prepared constants for the pruned [n2, n1] chain.
+
+    Index math (generalizing the verified square case, k = k1 + n1 k2,
+    m = m2 + n2 m1, ortho norm; ``n1 = n2`` reproduces the module-docstring
+    factorization exactly):
+
+        T1[k1, m2] = sum_k2 X[k1 + n1 k2] . Wc2[k2, m2]        (CA, pruned rows)
+        Pt[m2, m1] = sum_k1 (T1 . TWc)[k1, m2] . Wc1[k1, m1]   (CA)
+                   = x[m2 + n2 m1]   (digit-swapped time samples)
+        T3[m2, k1'] = sum_m1 pa(Pt)[m2, m1] . W1[m1, k1']      (CB)
+        Y[k1' + n1 k2'] = sum_m2 (T3 . TW)[m2, k1'] . W2[m2, k2']  (CA, pruned cols)
+
+    with TWc[k1, m2] = e^{+2i pi k1 m2 / n} / sqrt(n) and
+    TW[m2, k1'] = e^{-2i pi m2 k1' / n} / sqrt(n)."""
+    n2 = n // n1
+    q = (n_sc // 2) // n1
+    a1, a2 = np.arange(n1), np.arange(n2)
+    w1 = np.exp(-2j * np.pi * np.outer(a1, a1) / n1)
+    w2 = np.exp(-2j * np.pi * np.outer(a2, a2) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(a2, a1) / n) / math.sqrt(n)  # [n2, n1]
     dt = np.dtype(jnp.bfloat16.dtype) if dtype_name == "bfloat16" else np.float32
     # occupied rows/cols plus the straggler row/col q (bin n_sc/2); q never
-    # collides with the occupied set since n_sc < n_fft
-    rows = np.concatenate([np.arange(q), np.arange(r - q, r), [q]])
+    # collides with the occupied set since 2q + 1 <= n2
+    rows = np.concatenate([np.arange(q), np.arange(n2 - q, n2), [q]])
 
     def prep(m):
         return (np.asarray(m.real, dt), np.asarray(m.imag - m.real, dt),
@@ -264,11 +307,13 @@ def _pruned_tables(n: int, n_sc: int, dtype_name: str):
 
     return {
         "q": q,
-        "wc_rows": prep(wc[rows, :]),            # [2q+1, R] input-side block
-        "w_cols": prep(w[:, rows]),              # [R, 2q+1] output-side block
-        "w": prep(w), "wc": prep(wc),
+        "wc2_rows": prep(np.conj(w2)[rows, :]),  # [2q+1, n2] input-side block
+        "w2_cols": prep(w2[:, rows]),            # [n2, 2q+1] output-side block
+        "w1": prep(w1), "wc1": prep(np.conj(w1)),
+        # TWc applies on T1 [k1(n1), m2(n2)]; TW applies on T3 [m2(n2), k1'(n1)]
         "tw": (np.asarray(tw.real, dt), np.asarray(tw.imag, dt)),
-        "twc": (np.asarray(twc.real, dt), np.asarray(twc.imag, dt)),
+        "twc": (np.asarray(np.conj(tw).T.real, dt),
+                np.asarray(np.conj(tw).T.imag, dt)),
     }
 
 
@@ -280,20 +325,22 @@ def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
     — the full-band frame is never formed. Exactly equivalent to
     ``map_subcarriers -> fused chain -> extract_subcarriers`` (the pruned
     rows/columns only ever multiply zeros). Requires
-    :func:`sc_prune_eligible`."""
+    :func:`sc_prune_eligible`; the digit split is whatever
+    :func:`prune_factors` picked (128-lane rows when possible)."""
     n_sc = data_sc.shape[-1]
-    r = square_radix(n_fft)
-    assert sc_prune_eligible(n_fft, n_sc), (n_fft, n_sc)
+    fac = prune_factors(n_fft, n_sc)
+    assert fac is not None, (n_fft, n_sc)
+    n1, n2 = fac
     h = n_sc // 2
     bf16 = storage == "bfloat16"
     st = jnp.bfloat16 if bf16 else jnp.float32
     prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
-    tabs = _pruned_tables(n_fft, n_sc, "bfloat16" if bf16 else "float32")
+    tabs = _pruned_tables(n_fft, n_sc, n1, "bfloat16" if bf16 else "float32")
     q = tabs["q"]
-    wc_rows3 = tuple(jnp.asarray(t) for t in tabs["wc_rows"])
-    w_cols3 = tuple(jnp.asarray(t) for t in tabs["w_cols"])
-    wc3 = tuple(jnp.asarray(t) for t in tabs["wc"])
-    w3 = tuple(jnp.asarray(t) for t in tabs["w"])
+    wc2_rows3 = tuple(jnp.asarray(t) for t in tabs["wc2_rows"])
+    w2_cols3 = tuple(jnp.asarray(t) for t in tabs["w2_cols"])
+    wc13 = tuple(jnp.asarray(t) for t in tabs["wc1"])
+    w13 = tuple(jnp.asarray(t) for t in tabs["w1"])
     twcr, twci = (jnp.asarray(t).astype(jnp.float32) for t in tabs["twc"])
     twr, twi = (jnp.asarray(t).astype(jnp.float32) for t in tabs["tw"])
 
@@ -302,29 +349,31 @@ def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
     di = jnp.imag(data_sc).astype(jnp.float32)
     neg_r, pos_r = dr[..., :h], dr[..., h:]
     neg_i, pos_i = di[..., :h], di[..., h:]
-    # input block rows: [pos bins 0..h-1 (bin 0 = DC = 0) | neg bins |
-    # straggler row: bin n_sc/2 at col 0, zeros elsewhere]
+    # input block rows (k2 = 0..q-1, n2-q..n2-1, then the straggler):
+    # [pos bins 0..h-1 (bin 0 = DC = 0) | neg bins |
+    #  straggler row: bin n_sc/2 at col 0, zeros elsewhere]
     zero = jnp.zeros((*lead, 1), jnp.float32)
-    pad = jnp.zeros((*lead, r - 1), jnp.float32)
+    pad = jnp.zeros((*lead, n1 - 1), jnp.float32)
     xr = jnp.concatenate([zero, pos_r[..., : h - 1], neg_r,
                           pos_r[..., h - 1:], pad], axis=-1)
     xi = jnp.concatenate([zero, pos_i[..., : h - 1], neg_i,
                           pos_i[..., h - 1:], pad], axis=-1)
-    xr = xr.reshape(*lead, 2 * q + 1, r).astype(st)
-    xi = xi.reshape(*lead, 2 * q + 1, r).astype(st)
+    xr = xr.reshape(*lead, 2 * q + 1, n1).astype(st)
+    xi = xi.reshape(*lead, 2 * q + 1, n1).astype(st)
 
     # IFFT: stage 1 contracts only the occupied+straggler rows
-    br, bi = _kara(xr, xi, wc_rows3, _CA, prec)
+    br, bi = _kara(xr, xi, wc2_rows3, _CA, prec)   # [.., n1(k1), n2(m2)]
     br, bi = _cmul_planar(br, bi, twcr, twci)
-    pr, pi = _kara(br.astype(st), bi.astype(st), wc3, _CA, prec)
+    pr, pi = _kara(br.astype(st), bi.astype(st), wc13, _CA, prec)
+    # pr/pi: digit-swapped time samples [.., n2(m2), n1(m1)], 128-lane rows
 
     pr, pi = pa_fn_planar(pr, pi)
 
     # FFT back; final stage computes only the data+straggler columns
-    er, ei = _kara(pr.astype(st), pi.astype(st), w3, _CB, prec)
-    er, ei = _cmul_planar(er, ei, twr, twi)
-    fr, fi = _kara(er.astype(st), ei.astype(st), w_cols3, _CA, prec)
-    # fr/fi: [.., R(k1), 2q+1(k2-sel)]; col 2q is the straggler bin n_sc/2
+    er, ei = _kara(pr.astype(st), pi.astype(st), w13, _CB, prec)
+    er, ei = _cmul_planar(er, ei, twr, twi)        # [.., n2(m2), n1(k1')]
+    fr, fi = _kara(er.astype(st), ei.astype(st), w2_cols3, _CA, prec)
+    # fr/fi: [.., n1(k1'), 2q+1(k2'-sel)]; col 2q is the straggler bin n_sc/2
     sor, soi = fr[..., 0, 2 * q], fi[..., 0, 2 * q]
     fr = jnp.swapaxes(fr[..., : 2 * q], -1, -2).astype(jnp.float32)
     fi = jnp.swapaxes(fi[..., : 2 * q], -1, -2).astype(jnp.float32)

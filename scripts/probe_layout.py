@@ -76,11 +76,20 @@ def main():
 
     @jax.jit
     def v_c(k):
+        # rect chain: [32,128] -CB m128-> [32,128] -CA m32-> [128,32]
+        #             -CA m128-> [32,128] -CA m32-> [128,32]
         x = jax.random.normal(k, (B, A, 32, 128), jnp.float32)
-        return chain(x, [m128, m32, m128, m32], [CB, CA, CB, CA])
+        return chain(x, [m128, m32, m128, m32], [CB, CA, CA, CA])
 
-    for name, fn in (("a_64x64_today", v_a), ("b_packed_128lane", v_b),
-                     ("c_rect_32x128", v_c)):
+    @jax.jit
+    def v_a2(k):
+        # control: today's shapes but CB-only contractions — separates
+        # the einsum-form effect from the lane-padding effect
+        x = jax.random.normal(k, (B, A, 64, 64), jnp.float32)
+        return chain(x, [m64, m64, m64, m64], [CB, CB, CB, CB])
+
+    for name, fn in (("a_64x64_today", v_a), ("a2_64x64_cb_only", v_a2),
+                     ("b_packed_128lane", v_b), ("c_rect_32x128", v_c)):
         dt = timed(fn, key)
         print(f"{name:18s} {dt * 1e3:8.2f} ms/iter", flush=True)
 

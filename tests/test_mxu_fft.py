@@ -134,12 +134,14 @@ def _sc_chain_ref(data_sc, n_fft, pa_model="softlim", sat=0.31):
     return ofdm.extract_subcarriers(fd_dist, data_sc.shape[-1])
 
 
-@pytest.mark.parametrize("n_fft,n_sc", [(4096, 2048), (1024, 512), (1024, 256)])
+@pytest.mark.parametrize("n_fft,n_sc", [(4096, 2048), (1024, 512), (1024, 256),
+                                        (2048, 1024), (2048, 512)])
 def test_sc_pruned_chain_matches_full_band(n_fft, n_sc):
     """Guard-band-pruned fused chain == map -> full chain -> extract
     (the pruned rows/columns only ever multiply zeros), including the
-    straggler bin n_sc/2 displaced across the [R, R] row boundary by the
-    unused DC bin."""
+    straggler bin n_sc/2 displaced across the row boundary by the unused
+    DC bin. Square n_fft uses the [R, R] split; non-square n_fft (2048)
+    exercises the rectangular [n2, 128] split."""
     assert mxu_fft.sc_prune_eligible(n_fft, n_sc)
     rng = np.random.default_rng(11)
     d = rng.standard_normal((2, 3, n_sc)) + 1j * rng.standard_normal((2, 3, n_sc))
