@@ -144,19 +144,40 @@ def _planar_tables(n: int, dtype_name: str):
             "twc": (np.asarray(twc.real, dt), np.asarray(twc.imag, dt))}
 
 
-def _kara(ar, ai, m3, spec, precision):
-    """Karatsuba complex product ``X (*) M`` where the real contraction is
-    the einsum ``spec`` — either ``"...ab,bc->...ac"`` (contract the last
-    axis) or ``"...ab,ac->...bc"`` (contract axis -2; output stays
-    batch-leading so NO transpose is emitted, unlike a ``W @ X`` einsum
-    whose dot output would be ``[w_free, batch, x_free]``)."""
+import os as _os
+
+_CMUL_4MULT = _os.environ.get("MXU_FFT_CMUL", "karatsuba") == "4mult"
+
+
+def _kara(ar, ai, m3, spec, precision, out_dtype=jnp.float32):
+    """Complex product ``X (*) M`` where the real contraction is the einsum
+    ``spec`` — either ``"...ab,bc->...ac"`` (contract the last axis) or
+    ``"...ab,ac->...bc"`` (contract axis -2; output stays batch-leading so
+    NO transpose is emitted, unlike a ``W @ X`` einsum whose dot output
+    would be ``[w_free, batch, x_free]``).
+
+    Default is Karatsuba (3 real GEMMs + the materialized ``ar + ai``
+    operand); ``MXU_FFT_CMUL=4mult`` selects the schoolbook 4-GEMM form
+    (more MXU FLOPs — free on a bandwidth-bound chain — but no extra
+    operand tensor). Kept switchable for A/B measurement."""
     mr, mi_m_mr, mr_p_mi = m3
+    if _CMUL_4MULT:
+        mi = mi_m_mr + mr   # reconstructed; prep stores (mi - mr) exactly
+        arr = jnp.einsum(spec, ar, mr, precision=precision,
+                         preferred_element_type=out_dtype)
+        aii = jnp.einsum(spec, ai, mi, precision=precision,
+                         preferred_element_type=out_dtype)
+        ari = jnp.einsum(spec, ar, mi, precision=precision,
+                         preferred_element_type=out_dtype)
+        air = jnp.einsum(spec, ai, mr, precision=precision,
+                         preferred_element_type=out_dtype)
+        return arr - aii, ari + air
     k1 = jnp.einsum(spec, ar + ai, mr, precision=precision,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=out_dtype)
     k2 = jnp.einsum(spec, ar, mi_m_mr, precision=precision,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=out_dtype)
     k3 = jnp.einsum(spec, ai, mr_p_mi, precision=precision,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=out_dtype)
     return k1 - k3, k1 + k2
 
 
@@ -335,14 +356,21 @@ def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
     bf16 = storage == "bfloat16"
     st = jnp.bfloat16 if bf16 else jnp.float32
     prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
+    # bf16 storage keeps the whole inter-stage epilogue (GEMM outputs,
+    # Karatsuba combines, twiddle cmul) in bf16 too: the 3 k-tensors per
+    # stage otherwise materialize in f32 and dominate HBM traffic —
+    # measured 11.3k -> 13.2k frames/s on the canonical bench (+17.6%).
+    # Accuracy cost: chain rel err -43.8 -> -41.7 dB, still ~-40 dB as
+    # documented above.
+    acc = st if bf16 else jnp.float32
     tabs = _pruned_tables(n_fft, n_sc, n1, "bfloat16" if bf16 else "float32")
     q = tabs["q"]
     wc2_rows3 = tuple(jnp.asarray(t) for t in tabs["wc2_rows"])
     w2_cols3 = tuple(jnp.asarray(t) for t in tabs["w2_cols"])
     wc13 = tuple(jnp.asarray(t) for t in tabs["wc1"])
     w13 = tuple(jnp.asarray(t) for t in tabs["w1"])
-    twcr, twci = (jnp.asarray(t).astype(jnp.float32) for t in tabs["twc"])
-    twr, twi = (jnp.asarray(t).astype(jnp.float32) for t in tabs["tw"])
+    twcr, twci = (jnp.asarray(t).astype(acc) for t in tabs["twc"])
+    twr, twi = (jnp.asarray(t).astype(acc) for t in tabs["tw"])
 
     lead = data_sc.shape[:-1]
     dr = jnp.real(data_sc).astype(jnp.float32)
@@ -362,17 +390,17 @@ def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
     xi = xi.reshape(*lead, 2 * q + 1, n1).astype(st)
 
     # IFFT: stage 1 contracts only the occupied+straggler rows
-    br, bi = _kara(xr, xi, wc2_rows3, _CA, prec)   # [.., n1(k1), n2(m2)]
+    br, bi = _kara(xr, xi, wc2_rows3, _CA, prec, acc)   # [.., n1(k1), n2(m2)]
     br, bi = _cmul_planar(br, bi, twcr, twci)
-    pr, pi = _kara(br.astype(st), bi.astype(st), wc13, _CA, prec)
+    pr, pi = _kara(br.astype(st), bi.astype(st), wc13, _CA, prec, acc)
     # pr/pi: digit-swapped time samples [.., n2(m2), n1(m1)], 128-lane rows
 
     pr, pi = pa_fn_planar(pr, pi)
 
     # FFT back; final stage computes only the data+straggler columns
-    er, ei = _kara(pr.astype(st), pi.astype(st), w13, _CB, prec)
+    er, ei = _kara(pr.astype(st), pi.astype(st), w13, _CB, prec, acc)
     er, ei = _cmul_planar(er, ei, twr, twi)        # [.., n2(m2), n1(k1')]
-    fr, fi = _kara(er.astype(st), ei.astype(st), w2_cols3, _CA, prec)
+    fr, fi = _kara(er.astype(st), ei.astype(st), w2_cols3, _CA, prec, acc)
     # fr/fi: [.., n1(k1'), 2q+1(k2'-sel)]; col 2q is the straggler bin n_sc/2
     sor, soi = fr[..., 0, 2 * q], fi[..., 0, 2 * q]
     fr = jnp.swapaxes(fr[..., : 2 * q], -1, -2).astype(jnp.float32)
