@@ -348,7 +348,26 @@ def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
     rows/columns only ever multiply zeros). Requires
     :func:`sc_prune_eligible`; the digit split is whatever
     :func:`prune_factors` picked (128-lane rows when possible)."""
-    n_sc = data_sc.shape[-1]
+    dr = jnp.real(data_sc).astype(jnp.float32)
+    di = jnp.imag(data_sc).astype(jnp.float32)
+    outr, outi = fused_sc_ifft_pa_fft_planar_io(dr, di, pa_fn_planar, n_fft,
+                                                storage=storage)
+    return jax.lax.complex(outr.astype(jnp.float32),
+                           outi.astype(jnp.float32)).astype(data_sc.dtype)
+
+
+def fused_sc_ifft_pa_fft_planar_io(dr: Array, di: Array, pa_fn_planar,
+                                   n_fft: int, *,
+                                   storage: str = "float32"
+                                   ) -> tuple[Array, Array]:
+    """Planar-I/O core of :func:`fused_sc_ifft_pa_fft_planar`: takes and
+    returns separate real/imag ``[..., n_sc]`` planes so callers that
+    already hold planar data (the bf16 channel-block fast path,
+    ``models/link_planar.py``) never materialize the complex frames at
+    either end. Output planes are in the chain's storage dtype (bf16 when
+    ``storage="bfloat16"``) — downstream reductions upconvert for free in
+    their accumulation."""
+    n_sc = dr.shape[-1]
     fac = prune_factors(n_fft, n_sc)
     assert fac is not None, (n_fft, n_sc)
     n1, n2 = fac
@@ -372,16 +391,15 @@ def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
     twcr, twci = (jnp.asarray(t).astype(acc) for t in tabs["twc"])
     twr, twi = (jnp.asarray(t).astype(acc) for t in tabs["tw"])
 
-    lead = data_sc.shape[:-1]
-    dr = jnp.real(data_sc).astype(jnp.float32)
-    di = jnp.imag(data_sc).astype(jnp.float32)
+    lead = dr.shape[:-1]
+    in_dt = dr.dtype
     neg_r, pos_r = dr[..., :h], dr[..., h:]
     neg_i, pos_i = di[..., :h], di[..., h:]
     # input block rows (k2 = 0..q-1, n2-q..n2-1, then the straggler):
     # [pos bins 0..h-1 (bin 0 = DC = 0) | neg bins |
     #  straggler row: bin n_sc/2 at col 0, zeros elsewhere]
-    zero = jnp.zeros((*lead, 1), jnp.float32)
-    pad = jnp.zeros((*lead, n1 - 1), jnp.float32)
+    zero = jnp.zeros((*lead, 1), in_dt)
+    pad = jnp.zeros((*lead, n1 - 1), in_dt)
     xr = jnp.concatenate([zero, pos_r[..., : h - 1], neg_r,
                           pos_r[..., h - 1:], pad], axis=-1)
     xi = jnp.concatenate([zero, pos_i[..., : h - 1], neg_i,
@@ -403,15 +421,14 @@ def fused_sc_ifft_pa_fft_planar(data_sc: Array, pa_fn_planar, n_fft: int, *,
     fr, fi = _kara(er.astype(st), ei.astype(st), w2_cols3, _CA, prec, acc)
     # fr/fi: [.., n1(k1'), 2q+1(k2'-sel)]; col 2q is the straggler bin n_sc/2
     sor, soi = fr[..., 0, 2 * q], fi[..., 0, 2 * q]
-    fr = jnp.swapaxes(fr[..., : 2 * q], -1, -2).astype(jnp.float32)
-    fi = jnp.swapaxes(fi[..., : 2 * q], -1, -2).astype(jnp.float32)
+    fr = jnp.swapaxes(fr[..., : 2 * q], -1, -2)
+    fi = jnp.swapaxes(fi[..., : 2 * q], -1, -2)
     fr = fr.reshape(*lead, 2 * h)                      # bins [0..h-1 | N-h..N-1]
     fi = fi.reshape(*lead, 2 * h)
     # extract order [neg | pos]: neg = bins N-h.., pos = bins 1..h
     outr = jnp.concatenate([fr[..., h:], fr[..., 1:h], sor[..., None]], axis=-1)
     outi = jnp.concatenate([fi[..., h:], fi[..., 1:h], soi[..., None]], axis=-1)
-    return jax.lax.complex(outr.astype(jnp.float32),
-                           outi.astype(jnp.float32)).astype(data_sc.dtype)
+    return outr, outi
 
 
 def ifft_mxu(x_fd: Array, precision=_DEFAULT_PRECISION) -> Array:

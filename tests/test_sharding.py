@@ -107,7 +107,16 @@ def test_weak_scaling_experiment_runs():
 def test_mu_tp_sharding_matches_single_device(precoding, algorithm):
     """MU precoders (ZF Gram psum, MU-MRT norm psum) and the MCNC-MU
     replica under antenna sharding must reproduce the unsharded MU round
-    (LOS channels: all randomness in bits/noise, shared across layouts)."""
+    (LOS channels: all randomness in bits/noise, shared across layouts).
+
+    float32 chain storage: the psum reduction order differs from the
+    single-device sum by ULPs (f32 addition is not associative), which is
+    far from any detection boundary in f32 — but bf16 epilogue storage
+    re-rounds those ULP differences to 2^-9-relative ones, occasionally
+    flipping a boundary bit (a ~0.5% counter wobble, statistically nil).
+    The exactness claim under test is the *collective layout*, so the
+    chain runs in f32 here; bf16+tp statistical agreement is covered by
+    test_tp_sharding_statistically_consistent_for_rayleigh."""
     from mimo_ofdm_tpu.models.link_mu import make_mu_round_fn
     from mimo_ofdm_tpu.parallel.sharded import make_sharded_mu_round_fn
     cfg = LinkConfig(
@@ -117,6 +126,7 @@ def test_mu_tp_sharding_matches_single_device(precoding, algorithm):
         precoding=precoding,
         pa=PaConfig(model="softlim", ibo_db=0.0),
         rx=RxConfig(algorithm=algorithm),
+        mxu_fft_storage="float32",
     )
     key = jax.random.key(11)
     single = make_mu_round_fn(cfg, 2, 8)(key, 15.0)
