@@ -128,6 +128,15 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
     axis inside ``shard_map``; every antenna-axis reduction then rides a
     ``psum`` over ICI (SURVEY.md section 2.3 P2).
     """
+    if (cfg.channel_storage != "complex64" and ant_axis_name is None
+            and dtype == jnp.complex64):
+        from mimo_ofdm_tpu.models import link_planar
+        if link_planar.planar_eligible(cfg):
+            # bf16 planar channel-block fast path (same counters within
+            # Monte-Carlo noise; see models/link_planar.py)
+            return link_planar.make_planar_frame_fn(
+                cfg, n_iters, incl_clean=incl_clean, reroll=reroll,
+                storage=cfg.channel_storage)
     m = cfg.modem.constel_size
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
     n_ant = cfg.array.n_elements   # global count (alpha/IBO formulas use it)

@@ -111,6 +111,13 @@ class LinkConfig:
     # the fused chain) at ~-40 dB quantization error — far below the PA
     # distortion and thermal noise at every reference operating point.
     mxu_fft_storage: str = "bfloat16"
+    # Channel-block storage (fade draw, precoder, AGC products, propagation
+    # combine — models/link_planar.py): "complex64" is the reference-exact
+    # path; "bfloat16" stores them as bf16 real/imag planes with f32
+    # reduction accumulation (halves the HBM traffic of the round's
+    # dominant streaming block); "float32" is the planar path at f32 for
+    # validation. Non-eligible configs silently use the complex64 path.
+    channel_storage: str = "bfloat16"
 
     def replace(self, **kw) -> "LinkConfig":
         return dataclasses.replace(self, **kw)

@@ -83,6 +83,9 @@ def test_link_counters_match_jnp_fft_path(algo):
         modem=ModemConfig(constel_size=16, n_fft=1024, n_sub_carr=512),
         array=ArrayConfig(n_elements=8),
         channel=ChannelConfig(model="rayleigh"),
+        # pin the complex64 channel block: this test compares the two FFT
+        # paths, not the planar channel storage (tests/test_link_planar.py)
+        channel_storage="complex64",
     )
     cfg = cfg.replace(rx=dataclasses.replace(cfg.rx, algorithm=algo))
     tx_pos = link_static(cfg)[0]

@@ -20,6 +20,10 @@ def small_cfg(chan="rayleigh", alg="mcnc"):
         precoding="mrt",
         pa=PaConfig(model="softlim", ibo_db=0.0),
         rx=RxConfig(algorithm=alg),
+        # layout-exactness tests compare sharded vs single-device on the
+        # complex path; the planar channel block is tp-ineligible and would
+        # make the single-device side a different (planar) program
+        channel_storage="complex64",
     )
 
 
