@@ -121,19 +121,24 @@ def awgn_ber_vs_ebn0(n_iters=8, ebn0_min=0.0, ebn0_max=20.0, ebn0_step=2.0,
 
 @register("miso_ber_vs_ibo")
 def miso_ber_vs_ibo(channel="los", algorithm="cnc", n_ant=64, ebn0_db=15.0,
-                    ibo_values=(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0),
-                    n_iters=8, n_err_min=100_000, bits_sent_max=10_000_000,
+                    ibo_min=0.0, ibo_max=9.5, ibo_step=0.5, ibo_values=None,
+                    n_iters=8, n_err_min=100_000, bits_sent_max=1_000_000,
                     batch=32, seed=0, save_csv=True, verbose=True,
                     small=False):
     """BER vs IBO at fixed Eb/N0 per iteration count
-    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ibo.py``)."""
+    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ibo.py``).
+    Defaults match the committed ground truth grid: IBO 0..9 dB step 0.5,
+    stop at 1e5 errors / 1e6 bits (``main_miso_cnc_ber_vs_ibo.py:53-54``).
+    The CSV holds row 0 = IBO values and one row per CNC iteration count
+    0..n_iters (no clean-run row, ``main_miso_cnc_ber_vs_ibo.py:224-229``)."""
     cfg0, _ = canonical_miso_cnc()
     if small:
         cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
                                               n_sub_carr=128, cp_len=16))
+    if ibo_values is None:
+        ibo_values = np.arange(ibo_min, ibo_max, ibo_step)
     ibo_values = np.asarray(ibo_values, np.float64)
     res = SweepResult(param_values=ibo_values)
-    cfg = None
     for i, ibo in enumerate(ibo_values):
         cfg = cfg0.replace(array=ArrayConfig(n_elements=n_ant,
                                              cord_z=cfg0.array.cord_z),
@@ -152,29 +157,34 @@ def miso_ber_vs_ibo(channel="los", algorithm="cnc", n_ant=64, ebn0_db=15.0,
         res.points.append(pt)
         if verbose:
             print(f"IBO={ibo:4.1f} dB  BER={np.array2string(pt.ber, precision=3)}")
-    if save_csv and cfg is not None:
-        fname = results.ber_sweep_filename(
-            "ber_vs_ibo", algorithm, channel, n_ant, 0.0, ibo_values,
+    if save_csv:
+        fname = results.ber_vs_ibo_filename(
+            algorithm, channel, n_ant, ebn0_db, ibo_values,
             list(range(1, n_iters + 1)))
-        results.save_ber_sweep(ibo_values, res.ber_matrix, fname)
+        # reference layout: no clean-run row (counter 0 dropped)
+        results.save_ber_sweep(ibo_values, res.ber_matrix[1:], fname)
     return res
 
 
 @register("miso_ber_vs_nant")
-def miso_ber_vs_nant(channels=("los", "rayleigh"), algorithm="cnc",
-                     n_ant_values=(16, 32, 64), ebn0_db=15.0, ibo_db=0.0,
-                     n_iters=8, n_err_min=100_000, bits_sent_max=10_000_000,
-                     batch=32, seed=0, save_csv=True, verbose=True,
-                     small=False):
+def miso_ber_vs_nant(channels=("los", "two_path", "rayleigh"), algorithm="cnc",
+                     n_ant_values=(1, 2, 4, 8, 16, 32, 64, 128), ebn0_db=15.0,
+                     ibo_db=0.0, n_iters=8, n_err_min=1_000_000,
+                     bits_sent_max=10_000_000, batch=32, seed=0, save_csv=True,
+                     verbose=True, small=False):
     """BER vs number of antennas per channel
-    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_nant_vs_chan.py``)."""
+    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_nant_vs_chan.py``).
+    One CSV for all channels: row 0 = antenna counts, then per channel the
+    clean-run row followed by one row per CNC iteration count 0..n_iters
+    (``main_miso_cnc_ber_vs_nant_vs_chan.py:282-288``; stop criteria
+    ``:54-55``)."""
     cfg0, _ = canonical_miso_cnc()
     if small:
         cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
                                               n_sub_carr=128, cp_len=16))
     import jax
     out = {}
-    for chan in channels:
+    for ci, chan in enumerate(channels):
         res = SweepResult(param_values=np.asarray(n_ant_values, np.float64))
         for i, n_ant in enumerate(n_ant_values):
             cfg = cfg0.replace(array=ArrayConfig(n_elements=int(n_ant),
@@ -186,7 +196,8 @@ def miso_ber_vs_nant(channels=("los", "rayleigh"), algorithm="cnc",
                               cfg.modem.constel_size)
             round_fn = make_round_fn(cfg, n_iters, batch)
             pt = run_point(round_fn,
-                           jax.random.fold_in(jax.random.key(seed), i),
+                           jax.random.fold_in(jax.random.key(seed),
+                                              1000 * ci + i),
                            float(snr), n_counters=n_iters + 2,
                            n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
                            batch=batch, n_err_min=n_err_min,
@@ -196,67 +207,106 @@ def miso_ber_vs_nant(channels=("los", "rayleigh"), algorithm="cnc",
                 print(f"{chan} n_ant={n_ant}  "
                       f"BER={np.array2string(pt.ber, precision=3)}")
         out[chan] = res
-        if save_csv:
-            fname = results.ber_sweep_filename(
-                "ber_vs_nant", algorithm, chan, 0, ibo_db,
-                np.asarray(n_ant_values, float), list(range(1, n_iters + 1)))
-            results.save_ber_sweep(res.param_values, res.ber_matrix, fname)
+    if save_csv:
+        fname = results.ber_vs_nant_filename(
+            algorithm, n_ant_values, ebn0_db, ibo_db,
+            list(range(1, n_iters + 1)))
+        data = [np.asarray(n_ant_values, float)]
+        for chan in channels:
+            data.extend(np.asarray(r) for r in out[chan].ber_matrix)
+        results.save_to_csv(data, fname)
     return out
 
 
+def interp_req_ebn0(ber_grid: np.ndarray, ebn0_arr: np.ndarray,
+                    target_ber: float) -> np.ndarray:
+    """Required Eb/N0 per (iteration, IBO) from a full BER grid by 1-D
+    interpolation of Eb/N0 as a function of BER — the reference's
+    ``scipy.interpolate.interp1d(ber_per_ebn0, ebn0_db_arr)`` evaluated at
+    the target (``reference/main_clipping_noise_cancellation/
+    main_miso_cnc_constant_ber_req_ebn0_vs_ibo.py:280-309``); out-of-range
+    targets become ``inf`` like the reference's except branch.
+
+    ``ber_grid``: ``[n_ibo, n_ebn0, n_counters]``. Returns
+    ``[n_counters, n_ibo]``."""
+    n_ibo, _, n_ctr = ber_grid.shape
+    req = np.full((n_ctr, n_ibo), np.inf)
+    for c in range(n_ctr):
+        for j in range(n_ibo):
+            ber = ber_grid[j, :, c]
+            order = np.argsort(ber)
+            b, e = ber[order], ebn0_arr[order]
+            # drop duplicate BER values (flat floors) for interp validity
+            keep = np.concatenate([[True], np.diff(b) > 0])
+            b, e = b[keep], e[keep]
+            if len(b) >= 2 and b[0] <= target_ber <= b[-1]:
+                req[c, j] = np.interp(target_ber, b, e)
+    return req
+
+
 @register("req_ebn0_vs_ibo")
-def req_ebn0_vs_ibo(channel="los", algorithm="cnc", n_ant=64,
-                    target_ber=1e-2, ibo_values=(0.0, 2.0, 4.0, 6.0),
-                    n_iters=8, ebn0_lo=5.0, ebn0_hi=25.0, tol_db=0.25,
-                    n_err_min=10_000, bits_sent_max=5_000_000, batch=32,
+def req_ebn0_vs_ibo(channel="two_path", algorithm="cnc", n_ant=64,
+                    target_ber=1e-2, ibo_min=0.0, ibo_max=8.0, ibo_step=0.5,
+                    ebn0_min=10.0, ebn0_max=22.1, ebn0_step=0.5, n_iters=8,
+                    n_err_min=100_000, bits_sent_max=1_000_000, batch=32,
                     seed=0, save_csv=True, verbose=True, small=False):
-    """Required Eb/N0 for a fixed BER vs IBO, via bisection per iteration
-    tap (``reference/main_clipping_noise_cancellation/
-    main_miso_cnc_constant_ber_req_ebn0_vs_ibo.py``)."""
+    """Required Eb/N0 for a fixed BER vs IBO via the full (IBO x Eb/N0)
+    BER grid + interpolation — the reference's exact method
+    (``reference/main_clipping_noise_cancellation/
+    main_miso_cnc_constant_ber_req_ebn0_vs_ibo.py``; committed ground
+    truth from the mp variant, stop criteria 1e5 err / 1e6 bits).
+
+    The CSV holds the raw grid in the committed layout: row 0 = IBO
+    values, then IBO-major rows of per-iteration BER (one row per Eb/N0
+    point, ``n_iters+1`` columns, no clean-run column —
+    ``main_mp_miso_cnc_constant_ber_req_ebn0_vs_ibo.py:210-215``), so the
+    reference's ``final_plots/fixed_ber_ebno_vs_ibo.py`` replots it
+    directly. Returns ``(ibo_arr, ebn0_arr, ber_grid, req_ebn0)``."""
     import jax
     cfg0, _ = canonical_miso_cnc()
     if small:
         cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
                                               n_sub_carr=128, cp_len=16))
-
-    def ber_at(cfg, round_fn, ebn0, i):
-        snr = ebn0_to_snr(ebn0, cfg.modem.n_sub_carr, cfg.modem.n_sub_carr,
-                          cfg.modem.constel_size)
-        pt = run_point(round_fn, jax.random.fold_in(jax.random.key(seed), i),
-                       float(snr), n_counters=n_iters + 2,
-                       n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
-                       batch=batch, n_err_min=n_err_min,
-                       bits_sent_max=bits_sent_max)
-        return pt.ber
-
-    req = np.full((n_iters + 2, len(ibo_values)), np.nan)
-    for j, ibo in enumerate(ibo_values):
+    ibo_arr = np.arange(ibo_min, ibo_max, ibo_step)
+    ebn0_arr = np.arange(ebn0_min, ebn0_max, ebn0_step)
+    snrs = ebn0_to_snr(ebn0_arr, cfg0.modem.n_sub_carr,
+                       cfg0.modem.n_sub_carr, cfg0.modem.constel_size)
+    # grid counters = CNC iterations 0..n_iters (clean run not part of the
+    # reference grid)
+    ber_grid = np.zeros((len(ibo_arr), len(ebn0_arr), n_iters + 1))
+    for j, ibo in enumerate(ibo_arr):
         cfg = cfg0.replace(array=ArrayConfig(n_elements=n_ant,
                                              cord_z=cfg0.array.cord_z),
                            channel=ChannelConfig(model=channel),
                            pa=PaConfig(model=cfg0.pa.model, ibo_db=float(ibo)),
                            rx=RxConfig(algorithm=algorithm))
-        round_fn = make_round_fn(cfg, n_iters, batch)
-        for c in range(n_iters + 2):
-            lo, hi = ebn0_lo, ebn0_hi
-            if ber_at(cfg, round_fn, hi, 1000 + j)[c] > target_ber:
-                continue  # unreachable within range
-            while hi - lo > tol_db:
-                mid = 0.5 * (lo + hi)
-                if ber_at(cfg, round_fn, mid, j)[c] > target_ber:
-                    lo = mid
-                else:
-                    hi = mid
-            req[c, j] = 0.5 * (lo + hi)
+        round_fn = make_round_fn(cfg, n_iters, batch, incl_clean=False)
+        for i, snr in enumerate(snrs):
+            pt = run_point(round_fn,
+                           jax.random.fold_in(jax.random.key(seed),
+                                              j * len(ebn0_arr) + i),
+                           float(snr), n_counters=n_iters + 2,
+                           n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+                           batch=batch, n_err_min=n_err_min,
+                           bits_sent_max=bits_sent_max)
+            ber_grid[j, i, :] = pt.ber[1:]
         if verbose:
-            print(f"IBO={ibo:4.1f}  req Eb/N0="
-                  f"{np.array2string(req[:, j], precision=2)}")
+            print(f"IBO={ibo:4.1f}  BER@{ebn0_arr[-1]:.1f}dB="
+                  f"{np.array2string(ber_grid[j, -1], precision=3)}")
+    req = interp_req_ebn0(ber_grid, ebn0_arr, target_ber)
+    if verbose:
+        with np.printoptions(precision=2):
+            print("required Eb/N0 rows (iter 0..n):")
+            print(req)
     if save_csv:
-        fname = results.ber_sweep_filename(
-            "req_ebn0_vs_ibo", algorithm, channel, n_ant, 0.0,
-            np.asarray(ibo_values, float), list(range(1, n_iters + 1)))
-        results.save_ber_sweep(np.asarray(ibo_values, float), req, fname)
-    return np.asarray(ibo_values, float), req
+        fname = results.fixed_ber_filename(
+            target_ber, algorithm, channel, n_ant, ebn0_arr, ibo_arr,
+            list(range(1, n_iters + 1)))
+        data = [ibo_arr]
+        for j in range(len(ibo_arr)):
+            data.extend(ber_grid[j, i, :] for i in range(len(ebn0_arr)))
+        results.save_to_csv(data, fname)
+    return ibo_arr, ebn0_arr, ber_grid, req
 
 
 @register("reproduce_reference_curve")
@@ -477,7 +527,7 @@ def ldpc_ref_ber(code_rate_str="1/2", channel="los", algorithm="cnc",
 def multiuser_ber(precoding="mrt", algorithm="cnc", channel="los", n_ant=64,
                   ibo_db=0.0, user_angles=(-30.0, 30.0),
                   user_distances=(100.0, 316.3), n_iters=8, ebn0_min=5.0,
-                  ebn0_max=20.0, ebn0_step=2.0, n_err_min=100_000,
+                  ebn0_max=20.0, ebn0_step=1.0, n_err_min=1_000_000,
                   bits_sent_max=10_000_000, batch=16, seed=0, save_csv=True,
                   verbose=True, small=False, sep_carriers=False):
     """Per-user BER vs Eb/N0 for a configurable user geometry and channel
@@ -524,9 +574,17 @@ def multiuser_ber(precoding="mrt", algorithm="cnc", channel="los", n_ant=64,
             print(f"Eb/N0={ebn0[i]:5.1f}  usr0 BER="
                   f"{np.array2string(ber[0, :, i], precision=3)}")
     if save_csv:
+        # reference layout: one CSV, row 0 = Eb/N0, then per user the
+        # clean-run row + one row per CNC iteration count 0..n_iters
+        # (reference/main_multiuser/main_multiuser_cnc_ber_vs_ebn0.py:665-672)
+        prec_ref = {"mrt": "mr"}.get(precoding, precoding)
+        fname = results.mu_ber_filename(
+            prec_ref, channel, n_ant, ibo_db, ebn0,
+            list(range(1, n_iters + 1)), user_angles, user_distances,
+            rx_name="cnc" if algorithm in ("cnc", "cnc_mu", "mcnc_mu")
+            else algorithm)
+        data = [ebn0]
         for u in range(n_usr):
-            fname = results.ber_sweep_filename(
-                f"mu_ber_vs_ebn0_usr{u}_{precoding}", algorithm, channel,
-                n_ant, ibo_db, ebn0, list(range(1, n_iters + 1)))
-            results.save_ber_sweep(ebn0, ber[u], fname)
+            data.extend(np.asarray(r) for r in ber[u])
+        results.save_to_csv(data, fname)
     return ebn0, ber

@@ -110,10 +110,19 @@ def channel_tf(channel="two_path", n_ant=4, small=True, verbose=True, seed=0):
                         n_sub_carr=128 if small else 2048, cp_len=16)
     cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=n_ant),
                      channel=ChannelConfig(model=channel))
-    _, freqs, rx_base = link_static(cfg)
-    tx_pos = link_static(cfg)[0]
+    import jax.numpy as jnp
+    tx_pos, freqs, rx_base = link_static(cfg)
     chan_fn = make_channel_fn(cfg, freqs, rx_base, reroll=False)
-    h = np.asarray(chan_fn(jax.random.key(seed), tx_pos))
+
+    # fetch real/imag planes, not the complex array: complex device->host
+    # transfer is UNIMPLEMENTED on the axon TPU transport (CLAUDE.md)
+    @jax.jit
+    def planes(key):
+        h = chan_fn(key, tx_pos)
+        return jnp.real(h), jnp.imag(h)
+
+    hr, hi = planes(jax.random.key(seed))
+    h = np.asarray(hr) + 1j * np.asarray(hi)
     if verbose:
         print(f"{channel}: |H| mean={np.abs(h).mean():.3e} "
               f"min={np.abs(h).min():.3e} max={np.abs(h).max():.3e}")

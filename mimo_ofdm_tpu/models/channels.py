@@ -148,59 +148,109 @@ def rician_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
             + w_sc * scatter * jnp.sqrt(p_los).astype(dtype)).astype(dtype)
 
 
-# --- native 3GPP-like TDL substitute for the Quadriga/MATLAB sidecar -------
+# --- native 3GPP TDL substitute for the Quadriga/MATLAB sidecar ------------
 
-# (normalized power [dB], normalized delay) per tap — compact cluster
-# profiles in the spirit of 3GPP TR 38.901 TDL-A/TDL-D tables. These stand
-# in for the out-of-process Quadriga engine (reference/channel.py:404-494).
+# Exact 3GPP TR 38.901 v17 tapped-delay-line profiles, Tables 7.7.2-1..5:
+# normalized delays (multiples of the desired delay spread, section 7.7.3)
+# and per-tap powers [dB]. TDL-A/B/C are NLOS (all taps Rayleigh); TDL-D/E
+# are LOS: their first tap carries a deterministic specular component
+# ("los_db") plus a Rayleigh component at the same delay ("powers_db[0]").
+# These feed the native substitute for the out-of-process Quadriga engine
+# (reference/channel.py:404-494, reference/main_quadriga_channel/
+# qd_channel_env_setup.m).
 TDL_PROFILES: dict[str, dict] = {
-    # NLOS-ish rich scattering (TDL-A-like, 12 strongest taps)
-    "umi_nlos": {
-        "delays": np.array([0.0, 0.3819, 0.4025, 0.5868, 0.4610, 0.5375, 0.6708,
-                            0.5750, 0.7618, 1.5375, 1.8978, 2.2242]),
+    # Table 7.7.2-1 (TDL-A, NLOS, 23 taps)
+    "tdl_a": {
+        "delays": np.array([0.0000, 0.3819, 0.4025, 0.5868, 0.4610, 0.5375,
+                            0.6708, 0.5750, 0.7618, 1.5375, 1.8978, 2.2242,
+                            2.1718, 2.4942, 2.5119, 3.0582, 4.0810, 4.4579,
+                            4.5695, 4.7966, 5.0066, 5.3043, 9.6586]),
         "powers_db": np.array([-13.4, 0.0, -2.2, -4.0, -6.0, -8.2, -9.9,
-                               -10.5, -7.5, -15.9, -6.6, -16.7]),
-        "has_los": False,
+                               -10.5, -7.5, -15.9, -6.6, -16.7, -12.4, -15.2,
+                               -10.8, -11.3, -12.7, -16.2, -18.3, -18.9,
+                               -16.6, -19.9, -29.7]),
+        "los_db": None,
     },
-    # LOS with strong direct path (TDL-D-like)
-    "uma_los": {
-        "delays": np.array([0.0, 0.035, 0.612, 1.363, 1.405, 1.804, 2.596,
-                            1.775, 4.042, 7.937, 9.424, 9.708]),
-        "powers_db": np.array([-0.2, -13.5, -18.8, -21.0, -22.8, -17.9, -20.1,
-                               -21.9, -22.9, -27.8, -23.6, -24.8]),
-        "has_los": True,
+    # Table 7.7.2-2 (TDL-B, NLOS, 23 taps)
+    "tdl_b": {
+        "delays": np.array([0.0000, 0.1072, 0.2155, 0.2095, 0.2870, 0.2986,
+                            0.3752, 0.5055, 0.3681, 0.3697, 0.5700, 0.5283,
+                            1.1021, 1.2756, 1.5474, 1.7842, 2.0169, 2.8294,
+                            3.0219, 3.6187, 4.1067, 4.2790, 4.7834]),
+        "powers_db": np.array([0.0, -2.2, -4.0, -3.2, -9.8, -1.2, -3.4, -5.2,
+                               -7.6, -3.0, -8.9, -9.0, -4.8, -5.7, -7.5,
+                               -1.9, -7.6, -12.2, -9.8, -11.4, -14.9, -9.2,
+                               -11.3]),
+        "los_db": None,
     },
-    # NLOS urban-macro rich scattering (TDL-C-like, 12 strongest clusters)
-    "uma_nlos": {
-        "delays": np.array([0.0, 0.2099, 0.2219, 0.2329, 0.2176, 0.6366,
-                            0.6448, 0.6560, 0.6584, 0.7935, 0.8213, 1.0618]),
+    # Table 7.7.2-3 (TDL-C, NLOS, 24 taps)
+    "tdl_c": {
+        "delays": np.array([0.0000, 0.2099, 0.2219, 0.2329, 0.2176, 0.6366,
+                            0.6448, 0.6560, 0.6584, 0.7935, 0.8213, 0.9336,
+                            1.2285, 1.3083, 2.1704, 2.7105, 4.2589, 4.6003,
+                            5.4902, 5.6077, 6.3065, 6.6374, 7.0427, 8.6523]),
         "powers_db": np.array([-4.4, -1.2, -3.5, -5.2, -2.5, 0.0, -2.2, -3.9,
-                               -7.4, -7.1, -10.7, -11.1]),
-        "has_los": False,
+                               -7.4, -7.1, -10.7, -11.1, -5.1, -6.8, -8.7,
+                               -13.2, -13.9, -13.9, -15.8, -17.1, -16.0,
+                               -15.7, -21.6, -22.8]),
+        "los_db": None,
+    },
+    # Table 7.7.2-4 (TDL-D, LOS, 13 taps; first tap = LOS path -0.2 dB +
+    # Rayleigh -13.5 dB at the same delay)
+    "tdl_d": {
+        "delays": np.array([0.0000, 0.0350, 0.6120, 1.3630, 1.4050, 1.8040,
+                            2.5960, 1.7750, 4.0420, 7.9370, 9.4240, 9.7080,
+                            12.5250]),
+        "powers_db": np.array([-13.5, -18.8, -21.0, -22.8, -17.9, -20.1,
+                               -21.9, -22.9, -27.8, -23.6, -24.8, -30.0,
+                               -27.7]),
+        "los_db": -0.2,
+    },
+    # Table 7.7.2-5 (TDL-E, LOS, 14 taps; first tap = LOS path -0.03 dB +
+    # Rayleigh -22.03 dB at the same delay)
+    "tdl_e": {
+        "delays": np.array([0.0000, 0.5133, 0.5440, 0.5630, 0.5440, 0.7112,
+                            1.9092, 1.9293, 1.9589, 2.6426, 3.7136, 5.4524,
+                            12.0034, 20.6519]),
+        "powers_db": np.array([-22.03, -15.8, -18.1, -19.8, -22.9, -22.4,
+                               -18.6, -20.8, -22.6, -22.3, -25.6, -20.2,
+                               -29.8, -29.2]),
+        "los_db": -0.03,
     },
 }
+
+# scenario aliases: the reference's Quadriga scenario strings map onto the
+# closest TR 38.901 TDL profile (LOS scenarios -> TDL-D, UMi NLOS -> TDL-A,
+# UMa NLOS -> TDL-C per the common calibration practice)
+TDL_PROFILES["uma_los"] = TDL_PROFILES["tdl_d"]
+TDL_PROFILES["umi_nlos"] = TDL_PROFILES["tdl_a"]
+TDL_PROFILES["uma_nlos"] = TDL_PROFILES["tdl_c"]
 
 
 def tdl_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
                 profile: str = "uma_los", delay_spread: float = 300e-9,
                 skip_attenuation: bool = False, tx_gain_db: float = 0.0,
                 rx_gain_db: float = 0.0, dtype=jnp.complex64) -> Array:
-    """Stochastic tapped-delay-line channel: per-tap Rayleigh (or fixed LOS
-    first tap) coefficients with array phase steering per tap DoA, mapped to
-    frequency via ``exp(-2j pi f tau)``. Native substitute for the
-    MATLAB/Quadriga 3GPP 38.901 channels (``reference/channel.py:404-494``,
+    """Stochastic tapped-delay-line channel with the exact TR 38.901
+    Table 7.7.2-x profiles: per-tap Rayleigh coefficients (plus the
+    deterministic specular component on LOS profiles) with array phase
+    steering per tap DoA, mapped to frequency via ``exp(-2j pi f tau)``,
+    total power normalized to 1 before the free-space attenuation. Native
+    substitute for the MATLAB/Quadriga 3GPP 38.901 channels
+    (``reference/channel.py:404-494``,
     ``reference/main_quadriga_channel/qd_channel_env_setup.m``)."""
     prof = TDL_PROFILES[profile]
     delays = jnp.asarray(prof["delays"] * delay_spread)
     powers = 10.0 ** (jnp.asarray(prof["powers_db"]) / 10.0)
-    powers = powers / jnp.sum(powers)
+    los_pow = (10.0 ** (prof["los_db"] / 10.0)
+               if prof["los_db"] is not None else 0.0)
+    total = jnp.sum(powers) + los_pow
+    powers = powers / total
+    los_pow = los_pow / total
     n_taps = delays.shape[0]
-    n_ant = tx_pos.shape[-2]
 
     k_fade, k_doa = jax.random.split(key)
     fade = complex_normal(k_fade, (n_taps,), dtype)
-    if prof["has_los"]:
-        fade = fade.at[0].set(1.0 + 0.0j)  # deterministic direct path
     doa = jax.random.uniform(k_doa, (n_taps,), minval=-jnp.pi / 2, maxval=jnp.pi / 2)
 
     # per-tap array steering from element x-offsets (broadside ULA approx)
@@ -208,7 +258,11 @@ def tdl_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
     fc = jnp.mean(freqs)
     steer = jnp.exp(2j * jnp.pi * fc / C_LIGHT
                     * delta[:, None] * jnp.sin(doa)[None, :])      # [n_ant, n_taps]
-    tap_gain = (jnp.sqrt(powers) * fade)[None, :] * steer          # [n_ant, n_taps]
+    gain = jnp.sqrt(powers) * fade
+    if prof["los_db"] is not None:
+        # deterministic specular component shares tap 0's delay/DoA
+        gain = gain.at[0].add(jnp.sqrt(los_pow).astype(dtype))
+    tap_gain = gain[None, :] * steer                               # [n_ant, n_taps]
     phase = jnp.exp(-2j * jnp.pi * freqs[None, :, None] * delays[None, None, :])
     h = jnp.sum(tap_gain[:, None, :] * phase, axis=-1)             # [n_ant, n_fft]
 

@@ -123,6 +123,9 @@ def make_planar_frame_fn(cfg: LinkConfig, n_iters: int, *,
     from mimo_ofdm_tpu.models.link import FrameCounters, link_static
 
     assert planar_eligible(cfg), cfg
+    if storage not in ("bfloat16", "float32"):
+        raise ValueError(f"unknown planar storage {storage!r} "
+                         "(expected 'bfloat16' or 'float32')")
     st = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
     m = cfg.modem.constel_size
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr

@@ -74,7 +74,9 @@ class ChannelConfig:
     n_paths: int = 10             # random_paths
     max_delay_spread: float = 1000e-9
     # tdl_3gpp substitute for the MATLAB/Quadriga engine (reference/channel.py:404-494)
-    tdl_profile: str = "uma_los"  # uma_los | umi_nlos | uma_nlos
+    # exact TR 38.901 profiles tdl_a..tdl_e, plus the reference's Quadriga
+    # scenario aliases uma_los (->tdl_d) / umi_nlos (->tdl_a) / uma_nlos (->tdl_c)
+    tdl_profile: str = "uma_los"
     rician_k_db: float = 9.0      # K-factor for model="rician"
 
 
@@ -117,7 +119,33 @@ class LinkConfig:
     # reduction accumulation (halves the HBM traffic of the round's
     # dominant streaming block); "float32" is the planar path at f32 for
     # validation. Non-eligible configs silently use the complex64 path.
+    #
+    # Numerics caveats of the non-complex64 defaults (docs/PARITY.md
+    # "Storage precision"):
+    # * Planar storage draws Rayleigh fades as two real normals instead of
+    #   one complex draw, so the fade REALIZATION differs from the
+    #   complex64 path for the same key (identically distributed, not
+    #   bit-identical) — and because antenna-sharded (tp) runs are not
+    #   planar-eligible, a tp-sharded run simulates different channel
+    #   realizations than a single-device run of the same cfg+key.
+    # * Sharded-vs-single-device BIT-exactness of the MU receivers holds
+    #   only at mxu_fft_storage="float32": bf16 plane re-rounding can flip
+    #   detector-boundary bits (statistically immaterial; see
+    #   tests/test_sharding.py).
     channel_storage: str = "bfloat16"
+
+    _MXU_STORAGE_VALUES = ("float32", "bfloat16")
+    _CHANNEL_STORAGE_VALUES = ("complex64", "float32", "bfloat16")
+
+    def __post_init__(self):
+        if self.mxu_fft_storage not in self._MXU_STORAGE_VALUES:
+            raise ValueError(
+                f"mxu_fft_storage={self.mxu_fft_storage!r} not in "
+                f"{self._MXU_STORAGE_VALUES}")
+        if self.channel_storage not in self._CHANNEL_STORAGE_VALUES:
+            raise ValueError(
+                f"channel_storage={self.channel_storage!r} not in "
+                f"{self._CHANNEL_STORAGE_VALUES}")
 
     def replace(self, **kw) -> "LinkConfig":
         return dataclasses.replace(self, **kw)

@@ -87,3 +87,57 @@ def test_ldpc_ref_ber_experiment(tmp_path, monkeypatch):
     assert ber[0, -1] <= ber[1, -1]     # clean <= distorted at high Eb/N0
     hits = list(tmp_path.glob("ldpc_1_2_ber_vs_ebn0_cnc_los_nant4_*.csv"))
     assert len(hits) == 1
+
+
+def test_req_ebn0_grid_experiment(tmp_path, monkeypatch):
+    """Reference grid+interpolation semantics: full (IBO x Eb/N0) BER
+    grid saved in the committed layout (row0=ibo, ibo-major per-Eb/N0
+    rows of iteration BERs), required Eb/N0 interpolated per (iter, ibo)."""
+    monkeypatch.setenv("MIMO_OFDM_TPU_RESULTS", str(tmp_path))
+    ibo, ebn0, grid, req = EXPERIMENTS["req_ebn0_vs_ibo"](
+        channel="los", n_ant=4, target_ber=2e-2,
+        ibo_min=0.0, ibo_max=4.0, ibo_step=2.0,
+        ebn0_min=6.0, ebn0_max=16.1, ebn0_step=5.0, n_iters=1,
+        n_err_min=300, bits_sent_max=200_000, batch=8, verbose=False,
+        save_csv=True, small=True)
+    assert grid.shape == (2, 3, 2)
+    assert req.shape == (2, 2)
+    # BER decreases with Eb/N0 for the standard receiver
+    assert np.all(np.diff(grid[:, :, 0], axis=1) <= 0)
+    from mimo_ofdm_tpu.utils import results
+    fname = results.fixed_ber_filename(2e-2, "cnc", "los", 4, ebn0, ibo,
+                                       [1])
+    rows = results.read_from_csv(fname, tmp_path)
+    assert len(rows) == 1 + 2 * 3            # ibo row + ibo-major grid rows
+    np.testing.assert_allclose(rows[0], ibo)
+    np.testing.assert_allclose(rows[1], grid[0, 0, :])
+    np.testing.assert_allclose(rows[1 + 3], grid[1, 0, :])
+    # interpolation sanity on a synthetic grid: BER 10^-(ebn0/10) crosses
+    # 1e-2 exactly at 20 dB
+    from mimo_ofdm_tpu.experiments.ber_sweeps import interp_req_ebn0
+    e = np.arange(10.0, 30.0, 2.0)
+    g = (10.0 ** (-e / 10.0))[None, :, None]
+    r = interp_req_ebn0(g, e, 1e-2)
+    assert r.shape == (1, 1)
+    assert r[0, 0] == pytest.approx(20.0, abs=0.75)
+    # out-of-range target -> inf (reference's except branch)
+    assert np.isinf(interp_req_ebn0(g, e, 1e-9)[0, 0])
+
+
+def test_multiuser_ber_reference_csv_layout(tmp_path, monkeypatch):
+    monkeypatch.setenv("MIMO_OFDM_TPU_RESULTS", str(tmp_path))
+    ebn0, ber = EXPERIMENTS["multiuser_ber"](
+        precoding="mrt", algorithm="cnc", n_ant=4, n_iters=1,
+        ebn0_min=12.0, ebn0_max=14.0, ebn0_step=2.0, n_err_min=200,
+        bits_sent_max=100_000, batch=4, verbose=False, save_csv=True,
+        small=True)
+    from mimo_ofdm_tpu.utils import results
+    fname = results.mu_ber_filename("mr", "los", 4, 0.0, ebn0, [1],
+                                    (-30.0, 30.0), (100.0, 316.3))
+    assert fname.endswith("_angles-30_30_distances100_316.3")
+    rows = results.read_from_csv(fname, tmp_path)
+    # row0 = ebn0, then per user: clean + iters 0..1 = 3 rows
+    assert len(rows) == 1 + 2 * 3
+    np.testing.assert_allclose(rows[0], ebn0)
+    np.testing.assert_allclose(rows[1], ber[0, 0])
+    np.testing.assert_allclose(rows[4], ber[1, 0])

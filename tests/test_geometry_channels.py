@@ -130,3 +130,55 @@ def test_csi_error_preserves_power_scaling():
         np.mean(np.abs(sc) ** 2), rel=0.2)
     # out-of-band bins untouched
     np.testing.assert_array_equal(h_np[:, 70:180], n_np[:, 70:180])
+
+
+def test_tdl_tables_match_tr38901():
+    """The TDL profiles are the exact TR 38.901 Tables 7.7.2-1..5 (VERDICT
+    r2 item 2): tap counts, spot delay/power values, and the LOS specular
+    components of TDL-D/E."""
+    P = channels.TDL_PROFILES
+    assert len(P["tdl_a"]["delays"]) == 23
+    assert len(P["tdl_b"]["delays"]) == 23
+    assert len(P["tdl_c"]["delays"]) == 24
+    assert len(P["tdl_d"]["delays"]) == 13
+    assert len(P["tdl_e"]["delays"]) == 14
+    # spot values straight from the tables
+    assert P["tdl_a"]["delays"][22] == pytest.approx(9.6586)
+    assert P["tdl_a"]["powers_db"][1] == 0.0
+    assert P["tdl_b"]["powers_db"][15] == pytest.approx(-1.9)
+    assert P["tdl_c"]["delays"][5] == pytest.approx(0.6366)
+    assert P["tdl_c"]["powers_db"][5] == 0.0
+    assert P["tdl_d"]["los_db"] == pytest.approx(-0.2)
+    assert P["tdl_d"]["powers_db"][0] == pytest.approx(-13.5)
+    assert P["tdl_e"]["los_db"] == pytest.approx(-0.03)
+    assert P["tdl_e"]["delays"][13] == pytest.approx(20.6519)
+    # every NLOS profile has no specular part; LOS ones do
+    for p in ("tdl_a", "tdl_b", "tdl_c"):
+        assert P[p]["los_db"] is None
+    # Quadriga scenario aliases resolve to the real tables
+    assert P["uma_los"] is P["tdl_d"]
+    assert P["umi_nlos"] is P["tdl_a"]
+    assert P["uma_nlos"] is P["tdl_c"]
+
+
+def test_tdl_channel_unit_power_and_los_flatness():
+    tx = jnp.asarray(geometry.ula_positions(8, 3.5e9, cord_z=15.0), jnp.float32)
+    rx = jnp.asarray([212.0, 212.0, 1.5], jnp.float32)
+    freqs = ofdm.fft_bin_frequencies(512, 15e3, 3.5e9)
+    # average per-bin channel power == 1 (profile normalized incl. the LOS
+    # component) for every profile, averaged over fades
+    for profile in ("tdl_a", "tdl_c", "tdl_d", "tdl_e"):
+        p = []
+        for s in range(40):
+            h = np.asarray(channels.tdl_channel(
+                jax.random.key(s), tx, rx, freqs, profile,
+                skip_attenuation=True, dtype=jnp.complex128))
+            p.append(np.mean(np.abs(h) ** 2))
+        assert np.mean(p) == pytest.approx(1.0, rel=0.15), profile
+    # LOS (TDL-D, K ~ 13.3 dB) is far more frequency-flat than NLOS TDL-A
+    cv = {}
+    for profile in ("tdl_d", "tdl_a"):
+        h = np.asarray(channels.tdl_channel(jax.random.key(7), tx, rx, freqs,
+                                            profile, skip_attenuation=True))
+        cv[profile] = np.std(np.abs(h)) / np.mean(np.abs(h))
+    assert cv["tdl_d"] < 0.5 * cv["tdl_a"]
