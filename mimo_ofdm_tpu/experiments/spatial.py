@@ -49,6 +49,60 @@ def beampattern(n_ant_values=(1, 2, 4, 8, 16, 32, 64), ibo_db=0.0,
     return out
 
 
+@register("mrt_radiation_pattern")
+def mrt_radiation_pattern(channels=("los", "two_path", "rayleigh"),
+                          n_ant_values=(1, 2, 4, 8, 16, 32, 64, 128),
+                          ibo_db=3.0, precoding_angle_deg=45.0,
+                          psd_angle_deg=78.0, n_points=180, n_snapshots=100,
+                          radial_distance=300.0, n_samp_per_seg=1024,
+                          seed=0, save_csv=True, verbose=True, small=False):
+    """Reference-parity MRT radiation-pattern study with per-angle Welch
+    PSDs (``reference/main_beampatterns_plotting/
+    main_mrt_precoding_radiation_pattern.py``, committed ground truth
+    ``psd_mrt_*_chan_ibo3_npoints180_nsnap100_angle{45,78}_nant*`` and
+    ``mrt_sig_powers_vs_angle_*``). Per (channel, n_ant) writes the
+    4-row PSD CSVs (freq/psd desired, freq/psd distortion) at both angles
+    and the cumulative desired+distortion powers-vs-angle CSV (all
+    antenna counts so far flattened, matching the reference's
+    save-inside-the-loop behavior)."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import radiation_pattern
+
+    out = {}
+    for chan in channels:
+        des_per_nant, dist_per_nant = [], []
+        for n_ant in n_ant_values:
+            cfg = _cfg(n_ant, ibo_db, chan=chan, small=small)
+            res = radiation_pattern(
+                cfg, jax.random.key(seed),
+                precoding_angle_deg=precoding_angle_deg,
+                psd_angle_deg=psd_angle_deg, n_points=n_points,
+                n_snapshots=n_snapshots, radial_distance=radial_distance,
+                n_samp_per_seg=min(n_samp_per_seg, cfg.modem.n_fft // 4))
+            des_per_nant.append(res.desired_pow)
+            dist_per_nant.append(res.distortion_pow)
+            out[(chan, n_ant)] = res
+            if verbose:
+                sdr = 10 * np.log10(res.desired_pow / res.distortion_pow)
+                print(f"{chan} n_ant={n_ant:3d}  SDR@prec="
+                      f"{sdr[int(round(n_points / 180 * precoding_angle_deg))]:.2f} dB"
+                      f"  min={sdr.min():.2f} dB")
+            if save_csv:
+                for ang in (precoding_angle_deg, psd_angle_deg):
+                    f, p_des, p_dist = res.psd[float(ang)]
+                    results.save_to_csv(
+                        [f, p_des, f, p_dist],
+                        results.psd_filename(chan, ibo_db, n_points,
+                                             n_snapshots, ang, n_ant))
+                results.save_to_csv(
+                    [np.concatenate(des_per_nant),
+                     np.concatenate(dist_per_nant)],
+                    results.sig_powers_filename(chan, ibo_db, n_points,
+                                                n_snapshots,
+                                                precoding_angle_deg, n_ant))
+    return out
+
+
 @register("mu_sinr")
 def mu_sinr(n_users=8, n_ant=128, ibo_db=0.0, precoding="zf",
             n_snapshots=16, seed=0, verbose=True, small=False):

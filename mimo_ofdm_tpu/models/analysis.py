@@ -135,6 +135,168 @@ def beampattern_scan(cfg: LinkConfig, key: Array, *, precoding_angle_deg: float 
                              distortion_pow=e_pow)
 
 
+class RadiationPatternResult(NamedTuple):
+    angles_deg: np.ndarray        # [n_points+1] scan angles (0..180)
+    desired_pow: np.ndarray       # [n_points+1] summed desired SC power
+    distortion_pow: np.ndarray    # [n_points+1] summed distortion SC power
+    # Welch PSDs at the precoding angle and the selected angle:
+    # angle_deg -> (freqs, psd_desired, psd_distortion), FFT bin order
+    psd: dict
+
+
+def radiation_pattern(cfg: LinkConfig, key: Array, *,
+                      precoding_angle_deg: float = 45.0,
+                      psd_angle_deg: float = 78.0, n_points: int = 180,
+                      n_snapshots: int = 100, radial_distance: float = 300.0,
+                      psd_nfft: int | None = None, n_samp_per_seg: int = 1024,
+                      point_chunk: int = 4, snap_chunk: int = 10,
+                      dtype=jnp.complex64) -> RadiationPatternResult:
+    """Full reproduction of the reference's MRT radiation-pattern scan
+    including the per-angle Welch PSDs
+    (``reference/main_beampatterns_plotting/main_mrt_precoding_radiation_pattern.py:30-266``):
+
+    1. MRT-precode toward the semicircle point at ``precoding_angle_deg``
+       (0..180 scan convention, index ``n_points/180*angle``);
+    2. at each of ``n_points+1`` points transmit ``n_snapshots`` random
+       frames with/without PA distortion, propagate per antenna without
+       combining, Bussgang-split with the per-antenna ``a_k`` and
+       accumulate desired/distortion data-subcarrier powers (``:131-173``);
+    3. at the precoding point and at ``psd_angle_deg`` build the full-band
+       combined desired (``sum_ant a_k H clean``) and distortion
+       (``sum_ant (rx - a_k H clean)``) signals, convert each snapshot to
+       time domain (ortho IFFT) and Welch them over the concatenated
+       stream (fs = nfft, Hann, 50% overlap, ``:181-200``).
+
+    Channel semantics per model (``:99-128``): LOS/two-path are
+    deterministic per point; Rayleigh draws fresh IID fades per point but
+    keeps the free-space attenuation frozen at the *construction* RX
+    position (212, 212, 1.5) — ``reference/channel.py:217-229,262-275`` —
+    and the precoding point reuses the precoding draw exactly.
+    """
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    ibo_db = cfg.pa.ibo_db
+    model = cfg.channel.model
+    if psd_nfft is None:
+        psd_nfft = n_fft
+
+    while n_snapshots % snap_chunk:
+        snap_chunk -= 1
+
+    tx_pos, freqs, rx_base = link_static(cfg, dtype)
+    pts2d = geometry.pts_on_semicircum(radial_distance, n_points)
+    pts = np.concatenate([pts2d, np.full((len(pts2d), 1), cfg.rx.cord_z)],
+                         axis=1)
+    angles_deg = np.linspace(0.0, 180.0, n_points + 1)
+    prec_idx = int(round(n_points / 180.0 * precoding_angle_deg))
+    sel_idx = int(round(n_points / 180.0 * psd_angle_deg))
+    pts_j = jnp.asarray(pts, jnp.float32)
+
+    k_chan, k_bits = jax.random.split(key)
+
+    def point_channel(idx, rx_pos):
+        """Channel at scan point ``idx`` (full n_fft grid)."""
+        if model in ("los", "two_path"):
+            return _point_channel(model, None, tx_pos, rx_pos, freqs, dtype)
+        if model == "rayleigh":
+            # fades per point; attenuation frozen at the construction
+            # position rx_base (reference/channel.py:217-229)
+            return channels.rayleigh_channel(
+                jax.random.fold_in(k_chan, idx), tx_pos, rx_base, freqs,
+                dtype=dtype)
+        raise ValueError(f"unsupported channel for radiation pattern: {model}")
+
+    @jax.jit
+    def scan_powers():
+        h_prec = point_channel(prec_idx, pts_j[prec_idx])
+        h_prec_sc = ofdm.extract_subcarriers(h_prec, n_sc)
+        v = precoding.mrt_precoder(h_prec_sc)
+        sat_pow = precoding.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
+        vk_pow = precoding.precoding_power_per_antenna(v)
+        ak = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+
+        def snap_fd(k):
+            """One random frame through the PA array: distorted + clean
+            full-band FD [n_ant, n_fft]."""
+            bits = jax.random.bernoulli(
+                k, 0.5, (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+            return transmit.array_transmit_fd(
+                bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
+                sat_power=sat_pow, return_clean=True, dtype=dtype)
+
+        def one_point(args):
+            idx, rx_pos = args
+            h = point_channel(0, rx_pos) if model in ("los", "two_path") \
+                else jnp.where(idx == prec_idx, h_prec,
+                               point_channel_dyn(idx))
+            h_sc = ofdm.extract_subcarriers(h, n_sc)
+
+            def snap_chunk_pow(carry, ks):
+                d_acc, e_acc = carry
+                fd_dist, fd_clean = jax.vmap(snap_fd)(ks)
+                rx_sc = ofdm.extract_subcarriers(fd_dist, n_sc) * h_sc
+                cl_sc = ofdm.extract_subcarriers(fd_clean, n_sc) * h_sc
+                desired, distortion = bussgang_split(rx_sc, cl_sc, ak)
+                d = jnp.sum(jnp.abs(jnp.sum(desired, axis=-2)) ** 2)
+                e = jnp.sum(jnp.abs(jnp.sum(distortion, axis=-2)) ** 2)
+                return (d_acc + d, e_acc + e), 0.0
+
+            keys = jax.random.split(jax.random.fold_in(k_bits, idx),
+                                    n_snapshots)
+            keys = keys.reshape(n_snapshots // snap_chunk, snap_chunk)
+            (d, e), _ = jax.lax.scan(snap_chunk_pow,
+                                     (jnp.zeros(()), jnp.zeros(())), keys)
+            return d, e
+
+        def point_channel_dyn(idx):
+            # rayleigh: position-independent draw keyed by point index
+            return channels.rayleigh_channel(
+                jax.random.fold_in(k_chan, idx), tx_pos, rx_base, freqs,
+                dtype=dtype)
+
+        d_pow, e_pow = jax.lax.map(one_point,
+                                   (jnp.arange(n_points + 1), pts_j),
+                                   batch_size=point_chunk)
+
+        # --- per-angle PSD signals at the precoding + selected points ---
+        def psd_at(idx):
+            h = point_channel(idx, pts_j[idx]) if model in ("los", "two_path") \
+                else jnp.where(idx == prec_idx, h_prec, point_channel_dyn(idx))
+
+            def one_snap_td(k):
+                fd_dist, fd_clean = snap_fd(k)
+                rx = fd_dist * h
+                cl = fd_clean * h
+                a = ak[:, None].astype(cl.dtype)
+                desired = jnp.sum(a * cl, axis=0)
+                distortion = jnp.sum(rx - a * cl, axis=0)
+                return (jnp.fft.ifft(desired, norm="ortho"),
+                        jnp.fft.ifft(distortion, norm="ortho"))
+
+            keys = jax.random.split(jax.random.fold_in(k_bits, idx),
+                                    n_snapshots)
+            des_td, dist_td = jax.lax.map(one_snap_td, keys,
+                                          batch_size=snap_chunk)
+            f, p_des = welch_psd(des_td.ravel(), psd_nfft, n_samp_per_seg)
+            _, p_dist = welch_psd(dist_td.ravel(), psd_nfft, n_samp_per_seg)
+            return f, p_des, p_dist
+
+        psd_prec = psd_at(prec_idx)
+        psd_sel = psd_at(sel_idx)
+        return d_pow, e_pow, psd_prec, psd_sel
+
+    d_pow, e_pow, psd_prec, psd_sel = scan_powers()
+    psd = {
+        float(precoding_angle_deg): tuple(np.asarray(x) for x in psd_prec),
+        float(psd_angle_deg): tuple(np.asarray(x) for x in psd_sel),
+    }
+    return RadiationPatternResult(angles_deg=angles_deg,
+                                  desired_pow=np.asarray(d_pow),
+                                  distortion_pow=np.asarray(e_pow),
+                                  psd=psd)
+
+
 def mu_sinr_sdr(cfg: LinkConfig, key: Array, user_positions, *,
                 n_snapshots: int = 16, precoding_kind: str = "mrt",
                 dtype=jnp.complex64):

@@ -203,3 +203,46 @@ def test_channel_corr_experiment_runs():
                                        save_csv=False, verbose=False)
     angles2, mat2 = out2["los"]
     assert mat2.shape == (1, 13) and angles2.shape == (13,)
+
+
+def test_radiation_pattern_with_psd():
+    """Full radiation-pattern scan incl. per-angle Welch PSDs
+    (reference/main_beampatterns_plotting/
+    main_mrt_precoding_radiation_pattern.py): desired power peaks at the
+    precoding angle, distortion power is positive everywhere, and the
+    desired PSD dominates the distortion PSD in-band at both committed
+    angles."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import radiation_pattern
+    from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig,
+                                            LinkConfig, ModemConfig, PaConfig)
+    cfg = LinkConfig(
+        modem=ModemConfig(constel_size=64, n_fft=256, n_sub_carr=128,
+                          cp_len=16),
+        array=ArrayConfig(n_elements=8),
+        channel=ChannelConfig(model="los"),
+        pa=PaConfig(model="softlim", ibo_db=3.0))
+    res = radiation_pattern(cfg, jax.random.key(0), n_points=36,
+                            n_snapshots=10, n_samp_per_seg=64)
+    assert res.desired_pow.shape == (37,)
+    prec_idx = int(round(36 / 180 * 45))
+    assert int(np.argmax(res.desired_pow)) == prec_idx
+    assert np.all(res.distortion_pow > 0)
+    assert set(res.psd) == {45.0, 78.0}
+    for ang in (45.0, 78.0):
+        f, p_des, p_dist = res.psd[ang]
+        assert f.shape == p_des.shape == p_dist.shape == (256,)
+        # in-band desired dominates distortion
+        assert p_des.mean() > 10 * p_dist.mean()
+    # rayleigh arm: frozen attenuation + per-point fades -> flat-ish pattern
+    cfg_r = LinkConfig(
+        modem=ModemConfig(constel_size=64, n_fft=256, n_sub_carr=128,
+                          cp_len=16),
+        array=ArrayConfig(n_elements=8),
+        channel=ChannelConfig(model="rayleigh"),
+        pa=PaConfig(model="softlim", ibo_db=3.0))
+    res_r = radiation_pattern(cfg_r, jax.random.key(1), n_points=18,
+                              n_snapshots=10, n_samp_per_seg=64)
+    # no spatial beam for IID fades: peak within 10 dB of the median
+    d = res_r.desired_pow
+    assert 10 * np.log10(d.max() / np.median(d)) < 10.0
