@@ -1,0 +1,139 @@
+"""Quantified comparison of our reproduced CSVs against the reference's
+committed ground truth (`/root/reference/figs/csv_results/`).
+
+Handles the reference's (historically inconsistent) row layouts:
+
+* ``ber_vs_ebn0_*``: ``[param, clean, it0..it8]`` (11 rows)
+* ``ber_vs_ibo_{cnc,mcnc}_los_*``: ``[ibo, clean, it0..it7]`` (10 rows —
+  older generator with a clean row and only 8 iteration taps)
+* ``ber_vs_ibo_cnc_rayleigh_*``: ``[ibo, it0..it8]`` (10 rows — the
+  layout of the current ``main_miso_cnc_ber_vs_ibo.py:224-229``)
+* ``fixed_ber*``: ``[ibo, (ibo-major x ebn0) rows of it0..it8]``
+* ``ber_vs_ebn0_mu_*``: ``[ebn0, usr0: clean+it0..it8, usr1: ...]``
+
+Our CSVs always use the *current* reference-source layouts
+(``ber_vs_ibo`` = ``[ibo, it0..it8]``).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/compare_reference_csv.py
+Prints one summary block per family; exit code 1 if any comparison
+exceeds its tolerance.
+"""
+
+import csv
+import sys
+
+import numpy as np
+
+RD = "/root/reference/figs/csv_results"
+OD = "figs/csv_results"
+
+
+def load(path):
+    return [np.array([float(x) for x in r]) for r in csv.reader(open(path))]
+
+
+def row_ratios(ours, ref, pairs, floor=2e-4, label=""):
+    """Compare row pairs (our_row_idx, ref_row_idx, name); return worst
+    median deviation across pairs."""
+    worst = 0.0
+    for oi, ri, name in pairs:
+        o, f = ours[oi], ref[ri]
+        n = min(len(o), len(f))
+        o, f = o[:n], f[:n]
+        mask = (o > floor) & (f > floor)
+        if not mask.any():
+            print(f"    {name}: no comparable points above floor")
+            continue
+        r = o[mask] / f[mask]
+        med = float(np.median(r))
+        print(f"    {name}: n={mask.sum():3d} med={med:.3f} "
+              f"range=[{r.min():.3f},{r.max():.3f}]")
+        worst = max(worst, abs(np.log10(med)))
+    return worst
+
+
+def check(name, worst, tol_log10=np.log10(1.25)):
+    ok = worst <= tol_log10
+    print(f"  => {name}: worst median |log10 ratio| = {worst:.4f} "
+          f"({'OK' if ok else 'FAIL'} vs {tol_log10:.4f})")
+    return ok
+
+
+def main():
+    ok = True
+    iters9 = "niter1_2_3_4_5_6_7_8"
+
+    print("== BER vs IBO (cnc/mcnc LOS: ref rows [ibo, clean, it0..it7]) ==")
+    for alg in ("cnc", "mcnc"):
+        name = (f"ber_vs_ibo_{alg}_los_nant64_ebn0_15_ibo_min0_max9"
+                f"_step0.50_{iters9}")
+        ours, ref = load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
+        print(f"  {name}")
+        pairs = [(1 + it, 2 + it, f"it{it}") for it in range(8)]
+        ok &= check(alg, row_ratios(ours, ref, pairs))
+
+    print("== BER vs IBO (cnc rayleigh: ref rows [ibo, it0..it8]) ==")
+    name = (f"ber_vs_ibo_cnc_rayleigh_nant64_ebn0_15_ibo_min0_max8"
+            f"_step0.50_{iters9}")
+    ours, ref = load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
+    print(f"  {name}")
+    pairs = [(1 + it, 1 + it, f"it{it}") for it in range(9)]
+    ok &= check("rayleigh", row_ratios(ours, ref, pairs, floor=5e-4))
+
+    print("== fixed-BER grid (cnc rayleigh nant64) ==")
+    name = (f"fixed_ber1.0e-02_cnc_rayleigh_nant64_ebn0_min10_max22"
+            f"_step0.50_ibo_min0_max7_step0.50_{iters9}")
+    ours, ref = load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
+    n_ibo, n_ebn0 = len(ours[0]), 25
+    og = np.stack([np.stack(ours[1 + j * n_ebn0: 1 + (j + 1) * n_ebn0])
+                   for j in range(n_ibo)])          # [ibo, ebn0, 9]
+    rg = np.stack([np.stack(ref[1 + j * n_ebn0: 1 + (j + 1) * n_ebn0])
+                   for j in range(n_ibo)])
+    ebn0 = np.arange(10.0, 22.1, 0.5)
+    from mimo_ofdm_tpu.experiments.ber_sweeps import interp_req_ebn0
+    req_o = interp_req_ebn0(og, ebn0, 1e-2)
+    req_r = interp_req_ebn0(rg, ebn0, 1e-2)
+    both = np.isfinite(req_o) & np.isfinite(req_r)
+    d = np.abs(req_o[both] - req_r[both])
+    print(f"  grid {og.shape}; finite req-Eb/N0 cells ours/ref: "
+          f"{np.isfinite(req_o).sum()}/{np.isfinite(req_r).sum()}")
+    print(f"  |req Eb/N0 delta| dB: med={np.median(d):.3f} "
+          f"p90={np.percentile(d, 90):.3f} max={d.max():.3f}")
+    ok_fixed = np.median(d) < 0.25 and d.max() < 1.0
+    print(f"  => fixed_ber: {'OK' if ok_fixed else 'FAIL'}")
+    ok &= ok_fixed
+
+    print("== multi-user (mr + zf; rows [ebn0, usr x (clean+it0..it8)]) ==")
+    for prec in ("mr", "zf"):
+        name = (f"ber_vs_ebn0_mu_{prec}_cnc_los_nant64_ibo0_ebn0_min5_max20"
+                f"_step1.00_{iters9}_angles-30_30_distances100_316.3")
+        ours, ref = load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
+        print(f"  {name}")
+        pairs = []
+        for u in range(2):
+            base = 1 + u * 10
+            pairs.append((base, base, f"usr{u} clean"))
+            for it in (0, 2, 8):
+                pairs.append((base + 1 + it, base + 1 + it, f"usr{u} it{it}"))
+        ok &= check(f"mu_{prec}", row_ratios(ours, ref, pairs, floor=5e-4))
+
+    print("== TDL-D substitute vs committed Quadriga UMa-LOS ==")
+    ours = load(f"{OD}/ber_vs_ebn0_cnc_tdl_3gpp_nant64_ibo0_ebn0_min5_max20"
+                f"_step1.00_{iters9}.csv")
+    ref = load(f"{RD}/ber_vs_ebn0_cnc_3GPP_38.901_UMa_LOS_nant64_ibo0"
+               f"_ebn0_min5_max20_step1.00_{iters9}.csv")
+    pairs = [(1, 1, "clean")] + [(2 + it, 2 + it, f"it{it}")
+                                 for it in (0, 2, 5, 8)]
+    worst = row_ratios(ours, ref, pairs, floor=5e-4)
+    # engine substitute: same cliff structure expected, wider tolerance
+    ok_tdl = worst <= np.log10(2.5)
+    print(f"  => tdl (substitute, tol 2.5x): worst={worst:.4f} "
+          f"({'OK' if ok_tdl else 'FAIL'})")
+    ok &= ok_tdl
+
+    print("\nALL OK" if ok else "\nSOME COMPARISONS FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
