@@ -11,14 +11,16 @@ from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig, LinkConfig,
                                         ModemConfig, PaConfig)
 
 
-def _cfg(n_ant, ibo_db, geometry="linear", chan="los", small=False):
+def _cfg(n_ant, ibo_db, geometry="linear", chan="los", small=False,
+         n_rows=1, n_cols=1, pa_model="softlim"):
     modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
                         n_sub_carr=128 if small else 2048,
                         cp_len=16 if small else 128)
     return LinkConfig(modem=modem,
-                      array=ArrayConfig(geometry=geometry, n_elements=n_ant),
+                      array=ArrayConfig(geometry=geometry, n_elements=n_ant,
+                                        n_rows=n_rows, n_cols=n_cols),
                       channel=ChannelConfig(model=chan),
-                      pa=PaConfig(model="softlim", ibo_db=ibo_db))
+                      pa=PaConfig(model=pa_model, ibo_db=ibo_db))
 
 
 @register("beampattern")
@@ -100,6 +102,55 @@ def mrt_radiation_pattern(channels=("los", "two_path", "rayleigh"),
                     results.sig_powers_filename(chan, ibo_db, n_points,
                                                 n_snapshots,
                                                 precoding_angle_deg, n_ant))
+    return out
+
+
+@register("mu_radiation_pattern")
+def mu_radiation_pattern(channel="two_path", n_ant_values=(8, 16, 128),
+                         usr_angles=(45.0, 120.0, 150.0), ibo_db=3.0,
+                         psd_angle_deg=78.0, n_points=180, n_snapshots=10,
+                         radial_distance=300.0, n_samp_per_seg=2048,
+                         seed=0, save_csv=True, verbose=True, small=False):
+    """Multi-user MRT radiation pattern + per-angle PSD: joint MRT toward
+    several semicircle angles, desired/distortion powers over the scan
+    (committed ground truth ``multiuser_mrt_sig_powers_vs_angle_*`` /
+    ``multiuser_psd_mrt_*``; consumer
+    ``reference/msc_figures/multiuser_mrt_precoding.py:30-70`` — 3 users
+    at 45/120/150 deg, two-path, IBO 3 dB)."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import radiation_pattern
+
+    out = {}
+    for n_ant in n_ant_values:
+        cfg = _cfg(n_ant, ibo_db, chan=channel, small=small)
+        cfg = cfg.replace(modem=cfg.modem.__class__(
+            constel_size=cfg.modem.constel_size, n_fft=cfg.modem.n_fft,
+            n_sub_carr=cfg.modem.n_sub_carr, cp_len=cfg.modem.cp_len,
+            n_users=len(usr_angles)))
+        res = radiation_pattern(
+            cfg, jax.random.key(seed),
+            precoding_angles_deg=tuple(usr_angles),
+            psd_angle_deg=psd_angle_deg, n_points=n_points,
+            n_snapshots=n_snapshots, radial_distance=radial_distance,
+            n_samp_per_seg=min(n_samp_per_seg, cfg.modem.n_fft // 2))
+        out[n_ant] = res
+        if verbose:
+            sdr = 10 * np.log10(res.desired_pow / res.distortion_pow)
+            idxs = [int(round(n_points / 180 * a)) for a in usr_angles]
+            print(f"{channel} n_ant={n_ant:3d}  SDR@users="
+                  f"{np.array2string(sdr[idxs], precision=2)} dB")
+        if save_csv:
+            f, p_des, p_dist = res.psd[float(psd_angle_deg)]
+            results.save_to_csv(
+                [f, p_des, f, p_dist],
+                results.psd_filename(channel, ibo_db, n_points, n_snapshots,
+                                     psd_angle_deg, n_ant,
+                                     prefix="multiuser_psd_mrt"))
+            results.save_to_csv(
+                [res.desired_pow, res.distortion_pow],
+                results.sig_powers_filename(channel, ibo_db, n_points,
+                                            n_snapshots, psd_angle_deg,
+                                            n_ant, prefix="multiuser_mrt"))
     return out
 
 
@@ -198,61 +249,137 @@ def sdr_vs_ibo(channels=("los", "two_path", "rayleigh"), n_ant=64,
     return np.asarray(ibo_values, float), sdr
 
 
+def _planar_user_position(azim_deg, elev_deg, dist, center):
+    """User position from (azimuth, elevation) per the reference's planar
+    MU script (``reference/main_planar_rectangular_array/
+    main_multiuser_planar_rectangular_array_beampatterns.py:41-48``):
+    angles are offset by +90 deg and mapped with
+    ``-d sin(el) cos(az), -d sin(el) sin(az), -d cos(el)`` around the
+    array center."""
+    az = np.deg2rad(azim_deg + 90.0)
+    el = np.deg2rad(elev_deg + 90.0)
+    return (-dist * np.sin(el) * np.cos(az) + center[0],
+            -dist * np.sin(el) * np.sin(az) + center[1],
+            -dist * np.cos(el) + center[2])
+
+
 @register("mu_beampattern")
 def mu_beampattern(n_ant=64, ibo_db=0.0, usr_angles_deg=(-30.0, 30.0),
                    radial_distance=300.0, n_points=180, n_snapshots=32,
-                   precoding="mrt", seed=0, save_csv=True, verbose=True,
+                   precoding="mrt", geometry="linear", n_rows=1, n_cols=1,
+                   pa_model="softlim", seed=0, save_csv=True, verbose=True,
                    small=False):
-    """Two-user distortion radiation pattern: with MU precoding the
-    third-order clipping products beamform toward the intermodulation
-    directions ``2 theta_1 - theta_2`` and ``2 theta_2 - theta_1``
-    (``reference/main_multiuser/2_users_ula_distortion_angles_prediction.py``,
-    ``main_multiuser_mrt_vs_zf_precoding_radiation_pattern.py``)."""
+    """Multi-user distortion radiation pattern for any array geometry.
+
+    * ``geometry="linear"``/``"circular"`` (ULA/UCA): 2-user semicircle
+      scan — with MU precoding the third-order clipping products
+      beamform toward the intermodulation directions
+      ``2 theta_1 - theta_2`` and ``2 theta_2 - theta_1``
+      (``reference/main_multiuser/2_users_{ula,uca}_distortion_angles_prediction.py``,
+      ``main_multiuser_mrt_vs_zf_precoding_radiation_pattern.py``).
+      ``usr_angles_deg`` are scan angles; returns
+      ``(angles_rad [n_points+1], desired, distortion, predicted_dirs)``.
+    * ``geometry="planar"`` (URA, ``n_rows x n_cols``): semisphere scan
+      with users at ``(azimuth, elevation)`` pairs — the study of
+      ``reference/main_planar_rectangular_array/
+      main_multiuser_planar_rectangular_array_beampatterns.py`` (default
+      there: 16x16 URA, TOI PA via ``pa_model="toi"`` where ``ibo_db``
+      is the TOI in dB and the Bussgang gain is estimated empirically
+      like the reference's ``estimate_alpha`` path ``:123-177``).
+      ``usr_angles_deg`` must then be angle pairs; ``n_points`` is the
+      total semisphere grid size (a ``sqrt x sqrt`` az/el grid); returns
+      ``(az_el_grid_deg, desired [g, g], distortion [g, g], None)``.
+    """
     import jax
     import jax.numpy as jnp
     from mimo_ofdm_tpu.models import channels, precoding as prec, transmit
     from mimo_ofdm_tpu.models.analysis import bussgang_split
     from mimo_ofdm_tpu.models.link import link_static
-    from mimo_ofdm_tpu.models.geometry import pts_on_semicircum
-    from mimo_ofdm_tpu.ops import ofdm
+    from mimo_ofdm_tpu.models.geometry import (pts_on_semicircum,
+                                               pts_on_semisphere)
+    from mimo_ofdm_tpu.ops import ofdm, pa as pa_ops
 
-    cfg = _cfg(n_ant, ibo_db, small=small)
+    planar = geometry == "planar"
+    if planar and n_rows * n_cols != n_ant:
+        n_rows = n_cols = int(np.sqrt(n_ant))
+    usr_angles = [tuple(np.atleast_1d(a)) for a in usr_angles_deg]
+    n_usr = len(usr_angles)
+    cfg = _cfg(n_ant, ibo_db, geometry=geometry, small=small,
+               n_rows=n_rows, n_cols=n_cols, pa_model=pa_model)
     cfg = cfg.replace(modem=cfg.modem.__class__(
         constel_size=cfg.modem.constel_size, n_fft=cfg.modem.n_fft,
-        n_sub_carr=cfg.modem.n_sub_carr, cp_len=cfg.modem.cp_len, n_users=2))
+        n_sub_carr=cfg.modem.n_sub_carr, cp_len=cfg.modem.cp_len,
+        n_users=n_usr))
     m, n_fft, n_sc = (cfg.modem.constel_size, cfg.modem.n_fft,
                       cfg.modem.n_sub_carr)
     tx_pos, freqs, _ = link_static(cfg)
+    center = (0.0, 0.0, cfg.array.cord_z)
 
-    pts2d = pts_on_semicircum(radial_distance, n_points)
-    pts = np.concatenate([pts2d, np.full((len(pts2d), 1), 1.5)], axis=1)
-    angles = np.radians(np.linspace(-90, 90, n_points + 1))
+    if planar:
+        pts = pts_on_semisphere(radial_distance, n_points, center)
+        grid = int(np.sqrt(n_points))
+        angles = np.linspace(0.0, 180.0, grid)       # az == el grid [deg]
+        usr_pos = [_planar_user_position(a[0], a[-1], radial_distance,
+                                         center) for a in usr_angles]
+    else:
+        pts2d = pts_on_semicircum(radial_distance, n_points)
+        pts = np.concatenate([pts2d, np.full((len(pts2d), 1), 1.5)], axis=1)
+        angles = np.radians(np.linspace(-90, 90, n_points + 1))
+        usr_pos = [pts[int(n_points / 180 * (a[0] + 90))]
+                   for a in usr_angles]
 
-    # users at chosen semicircle angles (reference convention: angle+90)
-    usr_pos = []
-    for a in usr_angles_deg:
-        idx = int(n_points / 180 * (a + 90))
-        usr_pos.append(pts[idx])
     h_usr = jnp.stack([channels.los_channel(tx_pos, jnp.asarray(p, jnp.float32),
                                             freqs) for p in usr_pos])
     h_usr_sc = ofdm.extract_subcarriers(h_usr, n_sc)
-    precoder = prec.make_precoder(precoding, n_users=2)
-    v = precoder(h_usr_sc)                                  # [n_ant, 2, n_sc]
-    sat = prec.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
+    precoder = prec.make_precoder(precoding, n_users=n_usr)
+    v = precoder(h_usr_sc)                              # [n_ant, n_usr, n_sc]
+    if pa_model == "toi":
+        # ibo_db is the TOI point; cubic coeff vs the precoded avg power
+        # (reference/distortion.py:228 with update_distortion's rescale)
+        sat = 1.0
+        toi_coeff = pa_ops.toi_to_cubic_coeff(
+            ibo_db, cfg.modem.avg_sample_power * prec.avg_precoding_gain(v))
+    else:
+        sat = prec.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
+        toi_coeff = 0.0
     vk_pow = prec.precoding_power_per_antenna(v)
-    ak = prec.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+    if pa_model == "toi":
+        ak = None   # estimated empirically below (reference :123-177)
+    else:
+        ak = prec.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
 
     snap_keys = jax.random.split(jax.random.key(seed), n_snapshots)
+
+    def snap_fd(k):
+        bits = jax.random.bernoulli(
+            k, 0.5, (n_usr, cfg.modem.n_bits_per_ofdm_sym)).astype(jnp.int8)
+        return transmit.array_transmit_fd(
+            bits, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
+            sat_power=sat, toi_coeff=toi_coeff, return_clean=True)
+
+    if ak is None:
+        # per-antenna empirical Bussgang gain: |avg_sc(tx conj(clean) /
+        # |clean|^2)| averaged over snapshots (reference planar script
+        # :144-173, computed pre-channel like the reference's
+        # rx/clean pair at the element ports)
+        @jax.jit
+        def est_alpha():
+            def one(k):
+                fd_dist, fd_clean = snap_fd(k)
+                d_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+                c_sc = ofdm.extract_subcarriers(fd_clean, n_sc)
+                return jnp.abs(jnp.mean(d_sc * jnp.conj(c_sc)
+                                        / (jnp.abs(c_sc) ** 2), axis=-1))
+            return jnp.mean(jax.vmap(one)(snap_keys), axis=0)
+        ak = est_alpha()
+        if verbose:
+            print(f"empirical alpha: mean={float(jnp.mean(ak)):.4f}")
 
     def one_point(rx_pos):
         h = channels.los_channel(tx_pos, rx_pos, freqs)
 
         def one_snap(k):
-            bits = jax.random.bernoulli(
-                k, 0.5, (2, cfg.modem.n_bits_per_ofdm_sym)).astype(jnp.int8)
-            fd_dist, fd_clean = transmit.array_transmit_fd(
-                bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
-                sat_power=sat, return_clean=True)
+            fd_dist, fd_clean = snap_fd(k)
             rx = ofdm.extract_subcarriers(
                 channels.propagate(h, fd_dist, sum_signals=False), n_sc)
             cl = ofdm.extract_subcarriers(
@@ -266,15 +393,28 @@ def mu_beampattern(n_ant=64, ibo_db=0.0, usr_angles_deg=(-30.0, 30.0),
 
     d_pow, e_pow = jax.lax.map(jax.jit(one_point),
                                jnp.asarray(pts, jnp.float32), batch_size=16)
-    pred = sorted([2 * usr_angles_deg[0] - usr_angles_deg[1],
-                   2 * usr_angles_deg[1] - usr_angles_deg[0]])
-    if verbose:
-        print(f"predicted intermod distortion directions: {pred} deg")
+    d_pow, e_pow = np.asarray(d_pow), np.asarray(e_pow)
+    if planar:
+        d_pow = d_pow.reshape(grid, grid)
+        e_pow = e_pow.reshape(grid, grid)
+        pred = None
+        if verbose:
+            pk = np.unravel_index(np.argmax(d_pow), d_pow.shape)
+            print(f"desired peak at az={angles[pk[0]]:.0f} "
+                  f"el={angles[pk[1]]:.0f} deg")
+    else:
+        flat = [a[0] for a in usr_angles]
+        pred = sorted([2 * flat[0] - flat[1], 2 * flat[1] - flat[0]]) \
+            if n_usr == 2 else None
+        if verbose and pred:
+            print(f"predicted intermod distortion directions: {pred} deg")
     if save_csv:
-        results.save_to_csv([angles, np.asarray(d_pow), np.asarray(e_pow)],
-                            f"mu_radiation_pattern_{precoding}_nant{n_ant}"
-                            f"_ibo{int(ibo_db)}")
-    return angles, np.asarray(d_pow), np.asarray(e_pow), pred
+        tag = f"{geometry}_" if geometry != "linear" else ""
+        results.save_to_csv(
+            [np.ravel(angles), d_pow.ravel(), e_pow.ravel()],
+            f"mu_radiation_pattern_{tag}{precoding}_nant{n_ant}"
+            f"_ibo{int(ibo_db)}")
+    return angles, d_pow, e_pow, pred
 
 
 @register("channel_corr")

@@ -141,3 +141,33 @@ def test_multiuser_ber_reference_csv_layout(tmp_path, monkeypatch):
     np.testing.assert_allclose(rows[0], ebn0)
     np.testing.assert_allclose(rows[1], ber[0, 0])
     np.testing.assert_allclose(rows[4], ber[1, 0])
+
+
+def test_mu_beampattern_geometries(tmp_path, monkeypatch):
+    """mu_beampattern runs on all three array geometries (VERDICT r2 item
+    7): ULA/UCA semicircle scans peak at the user angles; the planar URA
+    variant scans a semisphere with TOI PA + empirical Bussgang gain
+    (reference/main_planar_rectangular_array/
+    main_multiuser_planar_rectangular_array_beampatterns.py)."""
+    monkeypatch.setenv("MIMO_OFDM_TPU_RESULTS", str(tmp_path))
+    ang, d, e, pred = EXPERIMENTS["mu_beampattern"](
+        n_ant=16, n_points=36, n_snapshots=6, small=True, seed=3,
+        verbose=False)
+    assert d.shape == (37,)
+    # desired beam peaks at the two user angles (+-30 deg)
+    top = set(np.round(np.degrees(ang[np.argsort(d)[-4:]])).astype(int))
+    assert top & {-30, -35} and top & {30, 35}
+    ang, d, e, pred = EXPERIMENTS["mu_beampattern"](
+        n_ant=16, geometry="circular", n_points=36, n_snapshots=6,
+        small=True, seed=3, verbose=False)
+    assert d.shape == (37,) and np.all(e > 0)
+    ang, d, e, pred = EXPERIMENTS["mu_beampattern"](
+        n_ant=16, geometry="planar", n_rows=4, n_cols=4,
+        usr_angles_deg=((15.0, 15.0), (-15.0, -15.0)), pa_model="toi",
+        ibo_db=10.0, n_points=100, n_snapshots=5, small=True, seed=4,
+        verbose=False)
+    assert d.shape == (10, 10) and np.all(np.isfinite(e))
+    # users at symmetric (az, el) pairs around broadside: peak within the
+    # central half of the semisphere grid
+    pk = np.unravel_index(np.argmax(d), d.shape)
+    assert 2 <= pk[0] <= 7 and 2 <= pk[1] <= 7
