@@ -96,9 +96,12 @@ def mrt_radiation_pattern(channels=("los", "two_path", "rayleigh"),
                         [f, p_des, f, p_dist],
                         results.psd_filename(chan, ibo_db, n_points,
                                              n_snapshots, ang, n_ant))
+                # reference cell format: one python-list cell per antenna
+                # count (consumed via ast.literal_eval,
+                # reference/msc_figures/multiuser_mrt_precoding.py:51-53)
                 results.save_to_csv(
-                    [np.concatenate(des_per_nant),
-                     np.concatenate(dist_per_nant)],
+                    [[p.tolist() for p in des_per_nant],
+                     [p.tolist() for p in dist_per_nant]],
                     results.sig_powers_filename(chan, ibo_db, n_points,
                                                 n_snapshots,
                                                 precoding_angle_deg, n_ant))
@@ -147,7 +150,7 @@ def mu_radiation_pattern(channel="two_path", n_ant_values=(8, 16, 128),
                                      psd_angle_deg, n_ant,
                                      prefix="multiuser_psd_mrt"))
             results.save_to_csv(
-                [res.desired_pow, res.distortion_pow],
+                [[res.desired_pow.tolist()], [res.distortion_pow.tolist()]],
                 results.sig_powers_filename(channel, ibo_db, n_points,
                                             n_snapshots, psd_angle_deg,
                                             n_ant, prefix="multiuser_mrt"))

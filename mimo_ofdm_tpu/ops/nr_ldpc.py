@@ -66,6 +66,24 @@ RV_K0 = {1: ((0, 17, 33, 56), 66), 2: ((0, 13, 25, 43), 50)}
 
 _user_tables: dict[tuple[int, int], np.ndarray] = {}
 
+# Independent surrogate-table realization index (0 = the default draw).
+# Different draws re-generate the invented protograph fill + shift values
+# from independent RNG streams while keeping everything structural
+# (dimensions, core, degree profiles, 4-cycle avoidance) identical —
+# used to *measure* how sensitive coded curves are to the surrogate data
+# (docs/CURVE_REPRODUCTION.md "surrogate-table sensitivity").
+_surrogate_draw = 0
+
+
+def set_surrogate_draw(draw: int) -> None:
+    """Select surrogate-table realization ``draw`` (>= 0; 0 = default).
+    Clears the cached base graphs; user-installed true tables
+    (:func:`set_base_graph_tables`) are unaffected."""
+    global _surrogate_draw
+    _surrogate_draw = int(draw)
+    _protograph_support.cache_clear()
+    _base_graph_cached.cache_clear()
+
 
 def set_base_graph_tables(bg: int, i_ls: int, table: np.ndarray) -> None:
     """Install the true TS 38.212 Table 5.3.2-2/-3 shift matrix
@@ -89,7 +107,7 @@ def _protograph_support(bg: int) -> np.ndarray:
     columns (0, 1) have very high degree; extension rows carry a handful
     of systematic/core-parity taps plus one identity column."""
     m_b, n_b, k_b = BG_DIMS[bg]
-    rng = np.random.default_rng(38212 + bg)
+    rng = np.random.default_rng(38212 + bg + 7919 * _surrogate_draw)
     sup = np.zeros((m_b, n_b), bool)
     core_deg = 19 if bg == 1 else 10
 
@@ -123,7 +141,7 @@ def _base_graph_cached(bg: int, i_ls: int) -> tuple:
     m_b, n_b, k_b = BG_DIMS[bg]
     z_max = max(LIFTING_SETS[i_ls])
     sup = _protograph_support(bg)
-    rng = np.random.default_rng(1000 * bg + i_ls)
+    rng = np.random.default_rng(1000 * bg + i_ls + 7919 * _surrogate_draw)
     base = -np.ones((m_b, n_b), np.int64)
     base[sup] = rng.integers(0, z_max, size=int(sup.sum()))
     # exact NR parity-core shifts: weight-3 col = (1, 0, 1) so the four

@@ -178,3 +178,41 @@ def test_nr_waterfall_bg1():
     assert err_hi == 0 and ok_hi.all(), f"no waterfall: {err_hi} errs at 4 dB"
     err_lo, _ = run(-2.0)
     assert err_lo > 0.2 * pay.size, "decoder suspiciously good at -2 dB"
+
+
+def test_surrogate_draws_independent_but_structural():
+    """set_surrogate_draw produces a different base-graph realization with
+    identical structure (dims, parity core, row-degree profile), and
+    restoring draw 0 restores the default tables exactly."""
+    import numpy as np
+    from mimo_ofdm_tpu.ops import nr_ldpc
+    base0 = np.array(nr_ldpc._base_graph_cached(2, 0))
+    try:
+        nr_ldpc.set_surrogate_draw(1)
+        base1 = np.array(nr_ldpc._base_graph_cached(2, 0))
+    finally:
+        nr_ldpc.set_surrogate_draw(0)
+    back = np.array(nr_ldpc._base_graph_cached(2, 0))
+    np.testing.assert_array_equal(base0, back)
+    assert not np.array_equal(base0, base1)
+    m_b, n_b, k_b = nr_ldpc.BG_DIMS[2]
+    for b in (base0, base1):
+        assert b.shape == (m_b, n_b)
+        # same parity core in every draw
+        assert b[0, k_b] == 1 and b[1, k_b] == 0 and b[3, k_b] == 1
+        # identity extension columns
+        assert np.all(np.diag(b[4:, k_b + 4:]) == 0)
+    # same number of non-null blocks per draw in the core rows (degree
+    # profile preserved)
+    assert ((base0[:4] >= 0).sum(1) == (base1[:4] >= 0).sum(1)).all()
+    # both draws encode + decode round-trip
+    for d in (0, 1):
+        try:
+            nr_ldpc.set_surrogate_draw(d)
+            code = nr_ldpc.make_nr_code(2, 16)
+            rng = np.random.default_rng(3)
+            info = rng.integers(0, 2, code.k).astype(np.int8)
+            cw = nr_ldpc.encode_np(code, info)
+            assert np_syndrome_ok(code, cw), d
+        finally:
+            nr_ldpc.set_surrogate_draw(0)
