@@ -97,6 +97,126 @@ def csi_err_ber_vs_ebn0(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
     return out
 
 
+@register("csi_noise_ber_vs_ebn0")
+def csi_noise_ber_vs_ebn0(channel="los", algorithm="cnc", n_ant=16,
+                          ibo_db=0.0, csi_snr_db=(10.0, 15.0, 20.0, 30.0),
+                          n_iters=8, ebn0_min=5.0, ebn0_max=20.0,
+                          ebn0_step=1.0, n_err_min=100_000,
+                          bits_sent_max=10_000_000, batch=32, seed=0,
+                          save_csv=True, verbose=True, small=False):
+    """BER vs Eb/N0 under the legacy additive CSI-noise model: the
+    precoder/AGC/MCNC replica see ``H + CN(0, P_H/10^(csi_snr/10))``
+    while propagation uses the true ``H`` — the model behind the
+    committed ``ber_vs_ebn0_*_csi_noise_dbN_nant16_*`` ground truth (an
+    older ``reference/mp_model.py`` parameterization, superseded in the
+    current source by the epsilon model)."""
+    cfg0, _ = canonical_miso_cnc()
+    if small:
+        cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
+                                              n_sub_carr=128, cp_len=16))
+    out = {}
+    for i, snr_csi in enumerate(np.atleast_1d(np.asarray(csi_snr_db,
+                                                         np.float64))):
+        cfg = cfg0.replace(
+            array=ArrayConfig(n_elements=n_ant, cord_z=cfg0.array.cord_z),
+            channel=ChannelConfig(model=channel),
+            pa=PaConfig(model=cfg0.pa.model, ibo_db=ibo_db),
+            rx=RxConfig(algorithm=algorithm),
+            csi_snr_db=float(snr_csi))
+        sweep = SweepConfig(ebn0_min=ebn0_min, ebn0_max=ebn0_max,
+                            ebn0_step=ebn0_step, n_err_min=n_err_min,
+                            bits_sent_max=bits_sent_max, batch_frames=batch)
+        if verbose:
+            print(f"--- csi_snr = {snr_csi:.0f} dB ---")
+        res = run_ber_sweep(cfg, sweep, n_iters, seed=seed + 1000 * i,
+                            verbose=verbose)
+        if save_csv:
+            fname = results.ber_sweep_filename(
+                "ber_vs_ebn0", algorithm,
+                f"{channel}_csi_noise_db{int(snr_csi)}", n_ant, ibo_db,
+                res.param_values, list(range(1, n_iters + 1)))
+            results.save_ber_sweep(res.param_values, res.ber_matrix, fname)
+        out[float(snr_csi)] = res
+    return out
+
+
+@register("toi_ber_vs_ebn0")
+def toi_ber_vs_ebn0(channel="two_path", algorithm="cnc", n_ant=1,
+                    toi_db=22.75, n_iters=8, ebn0_min=5.0, ebn0_max=20.0,
+                    ebn0_step=1.0, n_err_min=100_000,
+                    bits_sent_max=10_000_000, n_est_symbols=1024, batch=32,
+                    seed=0, save_csv=True, verbose=True, small=False):
+    """BER vs Eb/N0 with the third-order-intercept PA
+    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ebn0_toi.py``,
+    committed ground truth ``toi_ber_vs_ebn0_cnc_two_path_nant1_ibo22_*``
+    with TOI 22.75 dB truncating to ``ibo22`` in the name). Follows the
+    reference protocol: the Bussgang gain has no closed form for the
+    cubic PA, so it is estimated first over noise-free frames through the
+    fixed (un-rerolled) channel without precoding
+    (``:93-122``; ``alpha = avg_sym |avg_sc(rx conj(clean)/|clean|^2)|``)
+    and then used as a constant in the AGC and the CNC replica division
+    (``update_distortion(..., alpha_val=...)``, ``:133-135``)."""
+    import jax
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.models import channels as chan_mod
+    from mimo_ofdm_tpu.models import transmit
+    from mimo_ofdm_tpu.models.link import link_static, make_channel_fn
+    from mimo_ofdm_tpu.ops import ofdm, pa as pa_ops
+    cfg0, _ = canonical_miso_cnc()
+    if small:
+        cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
+                                              n_sub_carr=128, cp_len=16))
+    cfg = cfg0.replace(
+        array=ArrayConfig(n_elements=n_ant, cord_z=cfg0.array.cord_z),
+        channel=ChannelConfig(model=channel),
+        pa=PaConfig(model="toi", ibo_db=float(toi_db)),
+        rx=RxConfig(algorithm=algorithm))
+
+    # --- alpha estimation phase (reference :93-122): unprecoded array,
+    # fixed channel at the canonical RX position, no noise ---
+    m, n_fft, n_sc = (cfg.modem.constel_size, cfg.modem.n_fft,
+                      cfg.modem.n_sub_carr)
+    tx_pos, freqs, rx_base = link_static(cfg)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    chan_fn = make_channel_fn(cfg, freqs_sc, rx_base, reroll=False)
+    toi_coeff = pa_ops.toi_to_cubic_coeff(toi_db, cfg.modem.avg_sample_power)
+
+    @jax.jit
+    def est_alpha(key):
+        h_sc = chan_fn(key, tx_pos)
+        v = jnp.ones((n_ant, n_sc), jnp.complex64)
+
+        def one(k):
+            bits = jax.random.bernoulli(
+                k, 0.5, (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+            fd_dist, fd_clean = transmit.array_transmit_fd(
+                bits, constel_size=m, n_fft=n_fft, v=v, pa_model="toi",
+                sat_power=1.0, toi_coeff=toi_coeff, return_clean=True)
+            rx = chan_mod.propagate(h_sc, ofdm.extract_subcarriers(fd_dist, n_sc))
+            cl = chan_mod.propagate(h_sc, ofdm.extract_subcarriers(fd_clean, n_sc))
+            return jnp.abs(jnp.mean(rx * jnp.conj(cl) / (jnp.abs(cl) ** 2)))
+
+        keys = jax.random.split(jax.random.fold_in(key, 77), n_est_symbols)
+        return jnp.mean(jax.lax.map(one, keys, batch_size=64))
+
+    alpha = float(est_alpha(jax.random.key(seed)))
+    if verbose:
+        print(f"TOI {toi_db} dB: empirical alpha estimate = {alpha:.5f}")
+
+    cfg = cfg.replace(pa=PaConfig(model="toi", ibo_db=float(toi_db),
+                                  alpha_estimate=alpha))
+    sweep = SweepConfig(ebn0_min=ebn0_min, ebn0_max=ebn0_max,
+                        ebn0_step=ebn0_step, n_err_min=n_err_min,
+                        bits_sent_max=bits_sent_max, batch_frames=batch)
+    res = run_ber_sweep(cfg, sweep, n_iters, seed=seed, verbose=verbose)
+    if save_csv:
+        fname = results.ber_sweep_filename(
+            "toi_ber_vs_ebn0", algorithm, channel, n_ant, toi_db,
+            res.param_values, list(range(1, n_iters + 1)))
+        results.save_ber_sweep(res.param_values, res.ber_matrix, fname)
+    return alpha, res
+
+
 @register("awgn_ber_vs_ebn0")
 def awgn_ber_vs_ebn0(n_iters=8, ebn0_min=0.0, ebn0_max=20.0, ebn0_step=2.0,
                      ibo_db=0.0, n_err_min=1000, bits_sent_max=1_000_000,

@@ -146,6 +146,7 @@ class RadiationPatternResult(NamedTuple):
 
 def radiation_pattern(cfg: LinkConfig, key: Array, *,
                       precoding_angle_deg: float = 45.0,
+                      precoding_angles_deg=None,
                       psd_angle_deg: float = 78.0, n_points: int = 180,
                       n_snapshots: int = 100, radial_distance: float = 300.0,
                       psd_nfft: int | None = None, n_samp_per_seg: int = 1024,
@@ -172,6 +173,13 @@ def radiation_pattern(cfg: LinkConfig, key: Array, *,
     keeps the free-space attenuation frozen at the *construction* RX
     position (212, 212, 1.5) — ``reference/channel.py:217-229,262-275`` —
     and the precoding point reuses the precoding draw exactly.
+
+    ``precoding_angles_deg`` switches to joint multi-user MRT toward
+    several semicircle angles (one independent frame per user, summed
+    transmit) — the committed ``multiuser_mrt_sig_powers_vs_angle_*`` /
+    ``multiuser_psd_mrt_*`` study (3 users at 45/120/150 deg, two-path;
+    consumer ``reference/msc_figures/multiuser_mrt_precoding.py:30-70``).
+    The first angle doubles as the PSD "precoding point".
     """
     m = cfg.modem.constel_size
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
@@ -180,6 +188,9 @@ def radiation_pattern(cfg: LinkConfig, key: Array, *,
     model = cfg.channel.model
     if psd_nfft is None:
         psd_nfft = n_fft
+    if precoding_angles_deg is None:
+        precoding_angles_deg = (precoding_angle_deg,)
+    n_usr = len(precoding_angles_deg)
 
     while n_snapshots % snap_chunk:
         snap_chunk -= 1
@@ -189,7 +200,8 @@ def radiation_pattern(cfg: LinkConfig, key: Array, *,
     pts = np.concatenate([pts2d, np.full((len(pts2d), 1), cfg.rx.cord_z)],
                          axis=1)
     angles_deg = np.linspace(0.0, 180.0, n_points + 1)
-    prec_idx = int(round(n_points / 180.0 * precoding_angle_deg))
+    prec_idxs = [int(round(n_points / 180.0 * a)) for a in precoding_angles_deg]
+    prec_idx = prec_idxs[0]
     sel_idx = int(round(n_points / 180.0 * psd_angle_deg))
     pts_j = jnp.asarray(pts, jnp.float32)
 
@@ -210,8 +222,12 @@ def radiation_pattern(cfg: LinkConfig, key: Array, *,
     @jax.jit
     def scan_powers():
         h_prec = point_channel(prec_idx, pts_j[prec_idx])
-        h_prec_sc = ofdm.extract_subcarriers(h_prec, n_sc)
-        v = precoding.mrt_precoder(h_prec_sc)
+        if n_usr == 1:
+            v = precoding.mrt_precoder(ofdm.extract_subcarriers(h_prec, n_sc))
+        else:
+            h_usr = jnp.stack([point_channel(i, pts_j[i]) for i in prec_idxs])
+            v = precoding.make_precoder("mrt", n_users=n_usr)(
+                ofdm.extract_subcarriers(h_usr, n_sc))  # [n_ant, n_usr, n_sc]
         sat_pow = precoding.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
         vk_pow = precoding.precoding_power_per_antenna(v)
         ak = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
@@ -219,8 +235,9 @@ def radiation_pattern(cfg: LinkConfig, key: Array, *,
         def snap_fd(k):
             """One random frame through the PA array: distorted + clean
             full-band FD [n_ant, n_fft]."""
-            bits = jax.random.bernoulli(
-                k, 0.5, (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+            shape = ((cfg.modem.n_bits_per_ofdm_sym,) if n_usr == 1
+                     else (n_usr, cfg.modem.n_bits_per_ofdm_sym))
+            bits = jax.random.bernoulli(k, 0.5, shape).astype(jnp.int8)
             return transmit.array_transmit_fd(
                 bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
                 sat_power=sat_pow, return_clean=True, dtype=dtype)

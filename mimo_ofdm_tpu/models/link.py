@@ -172,6 +172,20 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
             csi_noise = noise_ops.complex_normal(k_csi, h_sc.shape, dtype)
             h_pre_sc = (jnp.sqrt(1.0 - cfg.csi_epsilon ** 2) * h_sc
                         + csi_noise * jnp.sqrt(p).astype(dtype) * cfg.csi_epsilon)
+        elif cfg.csi_snr_db is not None:
+            # legacy additive CSI-noise model (the committed
+            # ber_vs_ebn0_*_csi_noise_dbN_* family): noisy estimate at a
+            # fixed CSI SNR against the global mean per-bin channel power
+            if ant_axis_name is not None:
+                k_csi = jax.random.fold_in(k_csi,
+                                           jax.lax.axis_index(ant_axis_name))
+                p = jax.lax.pmean(jnp.mean(jnp.abs(h_sc) ** 2),
+                                  ant_axis_name)
+            else:
+                p = jnp.mean(jnp.abs(h_sc) ** 2)
+            sigma2 = p / (10.0 ** (cfg.csi_snr_db / 10.0))
+            csi_noise = noise_ops.complex_normal(k_csi, h_sc.shape, dtype)
+            h_pre_sc = h_sc + csi_noise * jnp.sqrt(sigma2).astype(dtype)
         else:
             h_pre_sc = h_sc
 

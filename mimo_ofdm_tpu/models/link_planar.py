@@ -58,6 +58,7 @@ def planar_eligible(cfg: LinkConfig) -> bool:
     """True when the planar channel-block path covers this config."""
     return (cfg.modem.n_users == 1
             and not cfg.csi_epsilon
+            and cfg.csi_snr_db is None
             and cfg.precoding == "mrt"
             and cfg.channel.model in ("rayleigh", "los")
             and cfg.rx.algorithm in ("cnc", "mcnc", "none")

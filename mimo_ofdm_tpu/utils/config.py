@@ -105,6 +105,12 @@ class LinkConfig:
     carrier_spacing: float = 15e3
     precoding: str = "mrt"        # mrt | phase | zf | none
     csi_epsilon: float = 0.0      # CSI error (reference/mp_model.py:264-284)
+    # Legacy additive CSI-noise model of the committed
+    # ber_vs_ebn0_*_csi_noise_dbN_* ground truth (an older mp_model
+    # parameterization, superseded in the reference source by the epsilon
+    # model): H_est = H + CN(0, P_H / 10^(csi_snr_db/10)) on the data
+    # bins, P_H = global mean per-bin channel power. None = perfect CSI.
+    csi_snr_db: float | None = None
     # Run the IFFT->PA->FFT core as fused MXU matmuls (ops/mxu_fft) instead
     # of stock jnp.fft; auto-falls back when n_fft isn't square.
     use_mxu_fft: bool = True

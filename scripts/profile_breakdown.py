@@ -199,7 +199,7 @@ def main():
 
     # batch sweep on the full config (4096 exceeds HBM: the fused TX chain
     # materializes [batch, 64, 64, 64] planes — recorded as oom)
-    for b in (512, 1024, 2048, 4096) if "batch" in sections else ():
+    for b in (64, 128, 256, 512, 1024, 2048, 4096) if "batch" in sections else ():
         try:
             rf = make_round_fn(cfg, n_iters=n_iters, batch=b)
             dt, fps = timed_rounds(rf, key, snr, b)

@@ -171,3 +171,27 @@ def test_mu_beampattern_geometries(tmp_path, monkeypatch):
     # central half of the semisphere grid
     pk = np.unravel_index(np.argmax(d), d.shape)
     assert 2 <= pk[0] <= 7 and 2 <= pk[1] <= 7
+
+
+def test_csi_noise_and_toi_experiments(tmp_path, monkeypatch):
+    """Legacy additive CSI-noise model (committed csi_noise_dbN family)
+    and the TOI curve protocol (empirical alpha, then sweep)."""
+    monkeypatch.setenv("MIMO_OFDM_TPU_RESULTS", str(tmp_path))
+    out = EXPERIMENTS["csi_noise_ber_vs_ebn0"](
+        n_ant=4, csi_snr_db=(10.0, 30.0), n_iters=1, ebn0_min=12.0,
+        ebn0_max=14.0, ebn0_step=2.0, n_err_min=300, bits_sent_max=150_000,
+        batch=8, small=True, verbose=False)
+    b10, b30 = out[10.0].ber_matrix, out[30.0].ber_matrix
+    # worse CSI cannot beat better CSI (within MC slack)
+    assert (b10[0] >= b30[0] - 0.01).all()
+    assert (tmp_path / ("ber_vs_ebn0_cnc_los_csi_noise_db10_nant4_ibo0"
+                        "_ebn0_min12_max14_step2.00_niter1.csv")).exists()
+    alpha, res = EXPERIMENTS["toi_ber_vs_ebn0"](
+        n_ant=2, toi_db=15.0, n_iters=1, ebn0_min=12.0, ebn0_max=12.0,
+        ebn0_step=1.0, n_err_min=300, bits_sent_max=150_000,
+        n_est_symbols=64, batch=8, small=True, verbose=False)
+    # cubic-PA Bussgang gain below 1, above the deep-compression regime
+    assert 0.8 < alpha < 1.0
+    assert res.ber_matrix.shape[0] == 3
+    assert (tmp_path / ("toi_ber_vs_ebn0_cnc_two_path_nant2_ibo15"
+                        "_ebn0_min12_max12_step0.00_niter1.csv")).exists()
