@@ -231,25 +231,42 @@ def evm_vs_ibo(n_ant=64, ibo_values=(0.0, 2.0, 4.0, 6.0, 8.0), channel="los",
 
 
 @register("sdr_vs_ibo")
-def sdr_vs_ibo(channels=("los", "two_path", "rayleigh"), n_ant=64,
-               ibo_values=(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
-               n_snapshots=100, rx_pos=(212.0, 212.0, 1.5), seed=0,
-               save_csv=True, verbose=True, small=False):
-    """SDR vs IBO per channel model
-    (``reference/main_beampatterns_plotting/main_sdr_vs_ibo_vs_channel.py``)."""
+def sdr_vs_ibo(channels=("los", "two_path", "rayleigh"),
+               n_ant_values=(1, 4, 16, 32, 64), ibo_min=0.0, ibo_max=8.01,
+               ibo_step=0.25, ibo_values=None, n_snapshots=500,
+               rx_pos=(212.0, 212.0, 1.5), seed=0, save_csv=True,
+               verbose=True, small=False):
+    """SDR vs IBO per antenna count per channel model
+    (``reference/main_beampatterns_plotting/main_sdr_vs_ibo_vs_channel.py``;
+    committed ground truth
+    ``sdr_vs_ibo_per_channel_ibo0to8_1_4_16_32_64nant.csv`` — rows:
+    IBO grid, then nant-major x [los, two_path, rayleigh] SDR rows,
+    each SDR the dB-average over 500 channel-rerolled snapshots)."""
     import jax
-    sdr = np.zeros((len(channels), len(ibo_values)))
-    for ci, chan in enumerate(channels):
-        for ii, ibo in enumerate(ibo_values):
-            cfg = _cfg(n_ant, float(ibo), chan=chan, small=small)
-            sdr[ci, ii] = float(sdr_at_point(cfg, jax.random.key(seed),
-                                             rx_pos, n_snapshots=n_snapshots))
-        if verbose:
-            print(f"{chan}: SDR[dB] = {np.array2string(sdr[ci], precision=2)}")
+    from mimo_ofdm_tpu.models.analysis import sdr_vs_ibo_curve
+    if ibo_values is None:
+        ibo_values = np.arange(ibo_min, ibo_max, ibo_step)
+    ibo_values = np.asarray(ibo_values, float)
+    sdr = np.zeros((len(n_ant_values), len(channels), len(ibo_values)))
+    for ai, n_ant in enumerate(n_ant_values):
+        for ci, chan in enumerate(channels):
+            cfg = _cfg(int(n_ant), 0.0, chan=chan, small=small)
+            sdr[ai, ci] = sdr_vs_ibo_curve(
+                cfg, jax.random.fold_in(jax.random.key(seed),
+                                        100 * ai + ci),
+                ibo_values, rx_pos, n_snapshots=n_snapshots)
+            if verbose:
+                print(f"nant{n_ant} {chan}: SDR[dB] = "
+                      f"{np.array2string(sdr[ai, ci], precision=2)}")
     if save_csv:
-        results.save_to_csv([np.asarray(ibo_values, float), *sdr],
-                            f"sdr_vs_ibo_per_chan_nant{n_ant}")
-    return np.asarray(ibo_values, float), sdr
+        nants = "_".join(str(int(v)) for v in n_ant_values)
+        data = [ibo_values]
+        for ai in range(len(n_ant_values)):
+            data.extend(sdr[ai, ci] for ci in range(len(channels)))
+        results.save_to_csv(
+            data, f"sdr_vs_ibo_per_channel_ibo{int(min(ibo_values))}"
+                  f"to{int(max(ibo_values))}_{nants}nant")
+    return ibo_values, sdr
 
 
 def _planar_user_position(azim_deg, elev_deg, dist, center):

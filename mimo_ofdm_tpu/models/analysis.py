@@ -523,39 +523,79 @@ def spatial_correlation_scan(cfg: LinkConfig, key: Array, *,
 
 
 def sdr_at_point(cfg: LinkConfig, key: Array, rx_pos, n_snapshots: int = 16,
+                 reroll: bool = True, snap_chunk: int = 16,
                  dtype=jnp.complex64) -> Array:
     """Signal-to-distortion ratio at one RX point (summed combine),
     the per-(IBO, channel) measurement of
-    ``reference/main_beampatterns_plotting/main_sdr_vs_ibo_vs_channel.py``."""
+    ``reference/main_beampatterns_plotting/main_sdr_vs_ibo_vs_channel.py``:
+    every snapshot rerolls the channel (position ±loc_var/2 for
+    LOS/two-path, fresh fades for Rayleigh — ``:103-117``), re-precodes
+    and re-derives the per-antenna alphas, and the returned SDR is the
+    **average of the per-snapshot dB ratios** (``:147-157``)."""
+    return sdr_vs_ibo_curve(cfg, key, jnp.asarray([cfg.pa.ibo_db]), rx_pos,
+                            n_snapshots=n_snapshots, reroll=reroll,
+                            snap_chunk=snap_chunk, dtype=dtype)[0]
+
+
+def make_sdr_fn(cfg: LinkConfig, rx_pos, *, n_snapshots: int = 500,
+                reroll: bool = True, snap_chunk: int = 16,
+                dtype=jnp.complex64):
+    """Jitted ``(key, ibo_values[k]) -> sdr_db[k]`` for one (array,
+    channel) configuration — IBO is a *traced* argument so a whole IBO
+    sweep shares one compile (the reference's inner IBO loop,
+    ``main_sdr_vs_ibo_vs_channel.py:88``)."""
     m = cfg.modem.constel_size
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
     n_ant = cfg.array.n_elements
-    ibo_db = cfg.pa.ibo_db
     tx_pos, freqs, _ = link_static(cfg, dtype)
     rx_pos = jnp.asarray(rx_pos, jnp.float32)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    chan_fn = make_channel_fn(cfg, freqs_sc, rx_pos, reroll=reroll,
+                              dtype=dtype)
 
-    chan_fn = make_channel_fn(cfg, freqs, rx_pos, reroll=False, dtype=dtype)
+    @jax.jit
+    def run(key, ibo_values):
+        def one_ibo(args):
+            idx, ibo_db = args
 
-    def one_snap(k):
-        k_chan, k_bits = jax.random.split(k)
-        h = chan_fn(k_chan, tx_pos)
-        h_sc = ofdm.extract_subcarriers(h, n_sc)
-        v = precoding.mrt_precoder(h_sc)
-        sat_pow = precoding.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
-        vk_pow = precoding.precoding_power_per_antenna(v)
-        ak = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
-        bits = jax.random.bernoulli(k_bits, 0.5,
-                                    (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
-        fd_dist, fd_clean = transmit.array_transmit_fd(
-            bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
-            sat_power=sat_pow, return_clean=True, dtype=dtype)
-        rx_sc = ofdm.extract_subcarriers(
-            channels.propagate(h, fd_dist, sum_signals=False), n_sc)
-        cl_sc = ofdm.extract_subcarriers(
-            channels.propagate(h, fd_clean, sum_signals=False), n_sc)
-        desired, distortion = bussgang_split(rx_sc, cl_sc, ak)
-        return (jnp.sum(jnp.abs(jnp.sum(desired, axis=0)) ** 2),
-                jnp.sum(jnp.abs(jnp.sum(distortion, axis=0)) ** 2))
+            def one_snap(k):
+                k_chan, k_bits = jax.random.split(k)
+                h_sc = chan_fn(k_chan, tx_pos)
+                v = precoding.mrt_precoder(h_sc)
+                sat_pow = precoding.pa_sat_power(
+                    ibo_db, cfg.modem.avg_sample_power, v)
+                vk_pow = precoding.precoding_power_per_antenna(v)
+                ak = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+                bits = jax.random.bernoulli(
+                    k_bits, 0.5,
+                    (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+                fd_dist, fd_clean = transmit.array_transmit_fd(
+                    bits, constel_size=m, n_fft=n_fft, v=v,
+                    pa_model=cfg.pa.model, sat_power=sat_pow,
+                    return_clean=True, dtype=dtype)
+                rx_sc = ofdm.extract_subcarriers(fd_dist, n_sc) * h_sc
+                cl_sc = ofdm.extract_subcarriers(fd_clean, n_sc) * h_sc
+                desired, distortion = bussgang_split(rx_sc, cl_sc, ak)
+                d = jnp.sum(jnp.abs(jnp.sum(desired, axis=0)) ** 2)
+                e = jnp.sum(jnp.abs(jnp.sum(distortion, axis=0)) ** 2)
+                return 10.0 * jnp.log10(d / e)
 
-    d, e = jax.vmap(one_snap)(jax.random.split(key, n_snapshots))
-    return 10.0 * jnp.log10(jnp.sum(d) / jnp.sum(e))
+            keys = jax.random.split(jax.random.fold_in(key, idx),
+                                    n_snapshots)
+            return jnp.mean(jax.lax.map(one_snap, keys,
+                                        batch_size=snap_chunk))
+
+        n = ibo_values.shape[0]
+        return jax.lax.map(one_ibo, (jnp.arange(n), ibo_values))
+
+    return run
+
+
+def sdr_vs_ibo_curve(cfg: LinkConfig, key: Array, ibo_values, rx_pos, *,
+                     n_snapshots: int = 500, reroll: bool = True,
+                     snap_chunk: int = 16, dtype=jnp.complex64) -> np.ndarray:
+    """SDR [dB] per IBO value for one (array, channel) config — one
+    compile for the whole IBO grid."""
+    run = make_sdr_fn(cfg, rx_pos, n_snapshots=n_snapshots, reroll=reroll,
+                      snap_chunk=snap_chunk, dtype=dtype)
+    return np.asarray(run(key, jnp.asarray(ibo_values, jnp.float32)))
