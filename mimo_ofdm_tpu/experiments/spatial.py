@@ -553,3 +553,81 @@ def psd_eval(n_ant=64, ibo_db=0.0, n_snapshots=32, psd_nfft=128,
         results.save_to_csv([np.asarray(f), np.asarray(p_des), np.asarray(p_dist)],
                             f"psd_mrt_los_ibo{int(ibo_db)}_nant{n_ant}")
     return np.asarray(f), np.asarray(p_des), np.asarray(p_dist)
+
+
+@register("mu_sdr_vs_angle")
+def mu_sdr_vs_angle(n_ant=16, ibo_db=0.0, main_angle_deg=60.0,
+                    user_dist=300.0, n_points=180, n_snapshots=2,
+                    channel="los", seed=0, save_csv=True, verbose=True,
+                    small=False):
+    """Two-user SDR + channel correlation vs the secondary user's angle
+    (``reference/main_multiuser/main_two_users_sdr_vs_angle_overlap.py``),
+    including the worst-case-angle extraction of
+    ``main_two_users_wc_angle_vs_precoding_angle.py``: the angle (other
+    than the main user's own) at which the main user's SDR is lowest."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import mu_angle_overlap_scan
+    cfg = _cfg(n_ant, ibo_db, chan=channel, small=small)
+    angles, corr, sdr = mu_angle_overlap_scan(
+        cfg, jax.random.key(seed), main_angle_deg=main_angle_deg,
+        user_dist=user_dist, n_points=n_points, n_snapshots=n_snapshots)
+    main_idx = int(round(n_points / 180.0 * main_angle_deg))
+    off = np.ones(len(angles), bool)
+    off[main_idx] = False
+    wc_idx = int(np.argmin(np.where(off, sdr[0], np.inf)))
+    if verbose:
+        print(f"main user @ {main_angle_deg:.0f} deg: SDR there = "
+              f"{sdr[0, main_idx]:.2f} dB, corr there = "
+              f"{corr[main_idx]:.4f}")
+        print(f"worst-case secondary angle = {angles[wc_idx]:.1f} deg "
+              f"(main SDR {sdr[0, wc_idx]:.2f} dB, corr {corr[wc_idx]:.4f})")
+    if save_csv:
+        results.save_to_csv(
+            [angles, corr, sdr[0], sdr[1]],
+            f"mu_sdr_vs_angle_{channel}_nant{n_ant}_ibo{int(ibo_db)}"
+            f"_main{int(main_angle_deg)}_npoints{n_points}"
+            f"_nsnap{n_snapshots}")
+    return angles, corr, sdr
+
+
+@register("mu_sdr_vs_nusers")
+def mu_sdr_vs_nusers(n_users_values=(1, 2, 3, 4, 5), n_ant=32,
+                     ibo_min=0.0, ibo_max=7.01, ibo_step=0.25,
+                     ibo_values=None, n_snapshots=100, radial_dist=300.0,
+                     angular_margin=10.0, channel="los", seed=0,
+                     save_csv=True, verbose=True, small=False):
+    """Per-user SDR vs IBO vs number of simultaneously-served users
+    (``reference/main_multiuser/main_multiuser_sdr_vs_ibo_vs_n_users.py``:
+    LOS, 32-antenna ULA, IBO 0..7 step 0.25, 100 random-placement
+    snapshots per point). Returns ``{n_users: sdr_db [n_ibo, n_users]}``;
+    the CSV holds the IBO grid then, scenario-major, one row per user."""
+    import jax
+    from mimo_ofdm_tpu.models.analysis import make_mu_nusers_sdr_fn
+    if ibo_values is None:
+        ibo_values = np.arange(ibo_min, ibo_max, ibo_step)
+    ibo_values = np.asarray(ibo_values, float)
+    out = {}
+    for si, n_users in enumerate(n_users_values):
+        cfg = _cfg(n_ant, 0.0, chan=channel, small=small)
+        run = make_mu_nusers_sdr_fn(cfg, int(n_users),
+                                    radial_dist=radial_dist,
+                                    angular_margin=angular_margin,
+                                    n_snapshots=n_snapshots)
+        sdr = np.asarray(run(jax.random.fold_in(jax.random.key(seed), si),
+                             np.asarray(ibo_values, np.float32)))
+        out[int(n_users)] = sdr
+        if verbose:
+            print(f"n_users={n_users}: mean-user SDR "
+                  f"{sdr.mean(1)[0]:.2f} dB @ IBO {ibo_values[0]:.2f} -> "
+                  f"{sdr.mean(1)[-1]:.2f} dB @ IBO {ibo_values[-1]:.2f}")
+    if save_csv:
+        nusrs = "_".join(str(int(v)) for v in n_users_values)
+        data = [ibo_values]
+        for n_users in n_users_values:
+            data.extend(out[int(n_users)][:, u]
+                        for u in range(int(n_users)))
+        results.save_to_csv(
+            data, f"multiuser_sdr_per_usr_vs_ibo_ibo{int(min(ibo_values))}"
+                  f"to{int(max(ibo_values))}_{n_ant}nant"
+                  f"_nsnap{n_snapshots}_nusrs{nusrs}")
+    return out

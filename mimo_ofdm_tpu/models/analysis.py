@@ -599,3 +599,186 @@ def sdr_vs_ibo_curve(cfg: LinkConfig, key: Array, ibo_values, rx_pos, *,
     run = make_sdr_fn(cfg, rx_pos, n_snapshots=n_snapshots, reroll=reroll,
                       snap_chunk=snap_chunk, dtype=dtype)
     return np.asarray(run(key, jnp.asarray(ibo_values, jnp.float32)))
+
+
+def mu_angle_overlap_scan(cfg: LinkConfig, key: Array, *,
+                          main_angle_deg: float = 60.0,
+                          user_dist: float = 300.0, n_points: int = 180,
+                          n_snapshots: int = 2, point_chunk: int = 8,
+                          dtype=jnp.complex64):
+    """Two-user SDR vs the secondary user's azimuth angle
+    (``reference/main_multiuser/main_two_users_sdr_vs_angle_overlap.py``
+    and the worst-case study ``main_two_users_wc_angle_vs_precoding_angle
+    .py``): the main user sits at ``main_angle_deg`` on a semicircle of
+    radius ``user_dist``; the secondary user is placed at each of
+    ``n_points + 1`` semicircle points. Per point the two-user MRT
+    precoder is recomputed (``:134-141``), the constant-IBO per-antenna
+    alphas re-derived (``:141-146``), and the per-user SDR measured over
+    ``n_snapshots`` OFDM symbols with the script's convention
+    (``:148-175``): desired = Bussgang-scaled *combined* clean signal of
+    both users through user u's channel, distortion = received minus that,
+    powers summed over snapshots before the ratio. Also returns the
+    channel-correlation coefficient per point (``:125-131``).
+
+    Returns ``(angles_deg [n_points+1], corr [n_points+1],
+    sdr_db [2, n_points+1])`` (row 0 = main user, 1 = secondary).
+    """
+    model = cfg.channel.model
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    ibo_db = cfg.pa.ibo_db
+    tx_pos, freqs, _ = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    pts2d = geometry.pts_on_semicircum(user_dist, n_points)
+    pts = np.concatenate([pts2d, np.full((len(pts2d), 1), cfg.rx.cord_z)],
+                         axis=1)
+    angles_deg = np.linspace(0.0, 180.0, n_points + 1)
+    main_pos = np.array([np.cos(np.deg2rad(main_angle_deg)) * user_dist,
+                         np.sin(np.deg2rad(main_angle_deg)) * user_dist,
+                         cfg.rx.cord_z], np.float32)
+
+    @jax.jit
+    def scan(key, pts_arr):
+        h_main = _point_channel(model, jax.random.fold_in(key, n_points + 1),
+                                tx_pos, jnp.asarray(main_pos), freqs_sc,
+                                dtype)
+
+        def one_point(args):
+            idx, rx_pos = args
+            h_sec = _point_channel(model, jax.random.fold_in(key, idx),
+                                   tx_pos, rx_pos, freqs_sc, dtype)
+            corr = channel_correlation(h_main, h_sec)
+            h_mu = jnp.stack([h_main, h_sec])              # [2, n_ant, n_sc]
+            v = precoding.mu_mrt_precoder(h_mu)            # [n_ant, 2, n_sc]
+            sat = precoding.pa_sat_power(ibo_db, cfg.modem.avg_sample_power,
+                                         v)
+            vk_pow = precoding.precoding_power_per_antenna(v)
+            ak = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+            akc = ak[:, None].astype(dtype)
+
+            def one_snap(k):
+                bits = jax.random.bernoulli(
+                    k, 0.5,
+                    (2, cfg.modem.n_bits_per_ofdm_sym)).astype(jnp.int8)
+                fd_dist, fd_clean = transmit.array_transmit_fd(
+                    bits, constel_size=m, n_fft=n_fft, v=v,
+                    pa_model=cfg.pa.model, sat_power=sat, return_clean=True,
+                    dtype=dtype)
+                dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+                cl_sc = ofdm.extract_subcarriers(fd_clean, n_sc)
+
+                def per_user(h_u):
+                    rx = dist_sc * h_u
+                    cl = akc * cl_sc * h_u
+                    d = jnp.sum(jnp.abs(jnp.sum(cl, axis=0)) ** 2)
+                    e = jnp.sum(jnp.abs(jnp.sum(rx - cl, axis=0)) ** 2)
+                    return d, e
+
+                return jax.vmap(per_user)(h_mu)
+
+            d, e = jax.vmap(one_snap)(
+                jax.random.split(jax.random.fold_in(key, 7000 + idx),
+                                 n_snapshots))
+            return corr, 10.0 * jnp.log10(jnp.sum(d, 0) / jnp.sum(e, 0))
+
+        return jax.lax.map(one_point,
+                           (jnp.arange(n_points + 1), pts_arr),
+                           batch_size=point_chunk)
+
+    corr, sdr = scan(key, jnp.asarray(pts, jnp.float32))
+    return angles_deg, np.asarray(corr), np.asarray(sdr).T
+
+
+def make_mu_nusers_sdr_fn(cfg: LinkConfig, n_users: int, *,
+                          radial_dist: float = 300.0,
+                          angular_margin: float = 10.0,
+                          n_snapshots: int = 100, snap_chunk: int = 8,
+                          dtype=jnp.complex64):
+    """Jitted ``(key, ibo_values[k]) -> sdr_db [k, n_users]`` for the
+    MU SDR-vs-IBO-vs-user-count study (``reference/main_multiuser/
+    main_multiuser_sdr_vs_ibo_vs_n_users.py``). Every snapshot draws
+    fresh user angles with the reference's sequential spacing scheme
+    (``:84-104``): slot width ``(180 - 2*margin)/n_users``, user 0
+    uniform in the first slot, user i uniform in
+    ``(prev + slot, margin + slot*(i+1))`` — guaranteeing minimum angular
+    separation ``slot`` — then re-precodes (joint-normalized MU MRT,
+    single-user MRT degenerates to the same formula) and re-derives the
+    constant-IBO per-antenna alphas. Per-user SDR convention
+    (``:156-181``): desired = Bussgang-scaled clean signal of user u
+    *alone* through H_u, distortion = received minus the scaled combined
+    clean signal; the per-snapshot power ratios are averaged linearly,
+    then converted to dB."""
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    model = cfg.channel.model
+    tx_pos, freqs, _ = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    slot = (180.0 - 2.0 * angular_margin) / n_users
+
+    def draw_angles(k):
+        if n_users == 1:
+            return jax.random.uniform(k, (1,), jnp.float32, angular_margin,
+                                      180.0 - angular_margin)
+        ks = jax.random.split(k, n_users)
+        angs = [jax.random.uniform(ks[0], (), jnp.float32, angular_margin,
+                                   angular_margin + slot)]
+        for i in range(1, n_users):
+            angs.append(jax.random.uniform(
+                ks[i], (), jnp.float32, angs[-1] + slot,
+                angular_margin + slot * (i + 1)))
+        return jnp.stack(angs)
+
+    @jax.jit
+    def run(key, ibo_values):
+        def one_ibo(args):
+            idx, ibo_db = args
+
+            def one_snap(k):
+                k_loc, k_bits = jax.random.split(k)
+                ang = jnp.deg2rad(draw_angles(k_loc))
+                pos = jnp.stack([jnp.cos(ang) * radial_dist,
+                                 jnp.sin(ang) * radial_dist,
+                                 jnp.full_like(ang, cfg.rx.cord_z)], axis=-1)
+                h_mu = jax.vmap(
+                    lambda i, p: _point_channel(
+                        model, jax.random.fold_in(k_loc, i), tx_pos, p,
+                        freqs_sc, dtype))(jnp.arange(n_users), pos)
+                v = precoding.mu_mrt_precoder(h_mu)    # [n_ant, n_usr, n_sc]
+                sat = precoding.pa_sat_power(
+                    ibo_db, cfg.modem.avg_sample_power, v)
+                vk_pow = precoding.precoding_power_per_antenna(v)
+                ak = precoding.per_antenna_alpha(ibo_db, vk_pow, n_sc, n_ant)
+                akc = ak[:, None].astype(dtype)
+                bits = jax.random.bernoulli(
+                    k_bits, 0.5,
+                    (n_users, cfg.modem.n_bits_per_ofdm_sym)).astype(jnp.int8)
+                from mimo_ofdm_tpu.ops import qam
+                sym = qam.modulate_bits(bits, m, dtype)    # [n_usr, n_sc]
+                fd_dist, fd_clean = transmit.array_transmit_fd(
+                    bits, constel_size=m, n_fft=n_fft, v=v,
+                    pa_model=cfg.pa.model, sat_power=sat, return_clean=True,
+                    dtype=dtype)
+                dist_sc = ofdm.extract_subcarriers(fd_dist, n_sc)
+                cl_tot = ofdm.extract_subcarriers(fd_clean, n_sc)
+
+                def per_user(h_u, v_u, s_u):
+                    cl_u = v_u * s_u[None, :]              # [n_ant, n_sc]
+                    d = jnp.sum(jnp.abs(jnp.sum(akc * cl_u * h_u,
+                                                axis=0)) ** 2)
+                    e = jnp.sum(jnp.abs(jnp.sum(
+                        (dist_sc - akc * cl_tot) * h_u, axis=0)) ** 2)
+                    return d / e
+
+                return jax.vmap(per_user, in_axes=(0, 1, 0))(h_mu, v, sym)
+
+            keys = jax.random.split(jax.random.fold_in(key, idx),
+                                    n_snapshots)
+            ratios = jax.lax.map(one_snap, keys, batch_size=snap_chunk)
+            return 10.0 * jnp.log10(jnp.mean(ratios, axis=0))
+
+        n = ibo_values.shape[0]
+        return jax.lax.map(one_ibo, (jnp.arange(n), ibo_values))
+
+    return run

@@ -195,3 +195,38 @@ def test_csi_noise_and_toi_experiments(tmp_path, monkeypatch):
     assert res.ber_matrix.shape[0] == 3
     assert (tmp_path / ("toi_ber_vs_ebn0_cnc_two_path_nant2_ibo15"
                         "_ebn0_min12_max12_step0.00_niter1.csv")).exists()
+
+
+def test_mu_sdr_vs_angle_experiment(tmp_path, monkeypatch):
+    """Two-user SDR-vs-angle overlap study: at the main user's own angle
+    the secondary channel is fully correlated and both users see the
+    same SDR."""
+    monkeypatch.setenv("MIMO_OFDM_TPU_RESULTS", str(tmp_path))
+    angles, corr, sdr = EXPERIMENTS["mu_sdr_vs_angle"](
+        n_ant=4, main_angle_deg=60.0, n_points=18, n_snapshots=2,
+        small=True, verbose=False)
+    assert angles.shape == (19,) and corr.shape == (19,)
+    assert sdr.shape == (2, 19)
+    main_idx = 6  # 60 deg on an 18-point semicircle
+    np.testing.assert_allclose(corr[main_idx], 1.0, atol=1e-5)
+    # co-located users are indistinguishable: same SDR
+    np.testing.assert_allclose(sdr[0, main_idx], sdr[1, main_idx],
+                               atol=1e-3)
+    assert np.all(np.isfinite(sdr)) and np.all(corr <= 1.0 + 1e-6)
+    assert (tmp_path / ("mu_sdr_vs_angle_los_nant4_ibo0_main60"
+                        "_npoints18_nsnap2.csv")).exists()
+
+
+def test_mu_sdr_vs_nusers_experiment(tmp_path, monkeypatch):
+    """SDR vs IBO vs user count: SDR grows with IBO (less clipping)."""
+    monkeypatch.setenv("MIMO_OFDM_TPU_RESULTS", str(tmp_path))
+    out = EXPERIMENTS["mu_sdr_vs_nusers"](
+        n_users_values=(1, 3), n_ant=8, ibo_values=(0.0, 6.0),
+        n_snapshots=8, small=True, verbose=False)
+    assert set(out) == {1, 3}
+    assert out[1].shape == (2, 1) and out[3].shape == (2, 3)
+    for sdr in out.values():
+        assert np.all(np.isfinite(sdr))
+        assert np.all(sdr[1] > sdr[0])  # higher IBO -> higher SDR
+    assert (tmp_path / ("multiuser_sdr_per_usr_vs_ibo_ibo0to6_8nant"
+                        "_nsnap8_nusrs1_3.csv")).exists()
