@@ -127,3 +127,80 @@ def channel_tf(channel="two_path", n_ant=4, small=True, verbose=True, seed=0):
         print(f"{channel}: |H| mean={np.abs(h).mean():.3e} "
               f"min={np.abs(h).min():.3e} max={np.abs(h).max():.3e}")
     return h
+
+
+@register("alpha_vs_tx_pow")
+def alpha_vs_tx_pow(n_ant=64, ibo_db=0.0, n_snapshots=256,
+                    channels_lst=("rayleigh", "two_path", "los"), seed=0,
+                    save_csv=True, verbose=True, small=False):
+    """Per-antenna empirical Bussgang lambda vs per-antenna TX power
+    (``reference/main_misc_evals/main_alpha_vs_tx_pow_per_ant_eval.py``):
+    MRT precoding redistributes power across antennas, so each PA runs at
+    its own effective IBO ``10 log10(P_sat / P_tx,k)`` (``:121``); the
+    SC-domain lambda estimate ``|E[Y X*] / E[|X|^2]|`` per antenna
+    (``:105-111``) must land on the analytic ``alpha(IBO)`` curve.
+    Returns ``(ibo_per_ant [n_chan, n_ant], lam [n_chan, n_ant],
+    ibo_range, alpha_analytic)``."""
+    import jax
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.models import precoding, transmit
+    from mimo_ofdm_tpu.models.analysis import _point_channel
+    from mimo_ofdm_tpu.models.link import link_static
+    from mimo_ofdm_tpu.ops import ofdm, pa as pa_ops
+    from mimo_ofdm_tpu.utils.config import (ArrayConfig, LinkConfig,
+                                            ModemConfig, PaConfig)
+
+    modem = ModemConfig(constel_size=64, n_fft=256 if small else 4096,
+                        n_sub_carr=128 if small else 2048,
+                        cp_len=16 if small else 128)
+    cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=n_ant),
+                     pa=PaConfig(model="softlim", ibo_db=ibo_db))
+    m, n_fft, n_sc = modem.constel_size, modem.n_fft, modem.n_sub_carr
+    tx_pos, freqs, rx_base = link_static(cfg)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+
+    ibo_per_ant = np.zeros((len(channels_lst), n_ant))
+    lam = np.zeros((len(channels_lst), n_ant))
+
+    for ci, chan in enumerate(channels_lst):
+        @jax.jit
+        def run(key, chan=chan):
+            h_sc = _point_channel(chan, jax.random.fold_in(key, 999),
+                                  tx_pos, rx_base, freqs_sc)
+            v = precoding.mrt_precoder(h_sc)
+            sat = precoding.pa_sat_power(ibo_db, modem.avg_sample_power, v)
+
+            def snap(k):
+                bits = jax.random.bernoulli(
+                    k, 0.5, (modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+                fd_dist, fd_clean = transmit.array_transmit_fd(
+                    bits, constel_size=m, n_fft=n_fft, v=v,
+                    pa_model="softlim", sat_power=sat, return_clean=True)
+                y = ofdm.extract_subcarriers(fd_dist, n_sc)
+                x = ofdm.extract_subcarriers(fd_clean, n_sc)
+                num = jnp.mean(y * jnp.conj(x), axis=-1)
+                den = jnp.mean(jnp.abs(x) ** 2, axis=-1)
+                p_tx = jnp.sum(jnp.abs(x) ** 2, axis=-1) / n_fft
+                return num / den, p_tx
+
+            lam_s, pow_s = jax.vmap(snap)(jax.random.split(key, n_snapshots))
+            return (jnp.abs(jnp.mean(lam_s, axis=0)),
+                    jnp.mean(pow_s, axis=0), sat)
+
+        lam_c, p_tx, sat = run(jax.random.fold_in(jax.random.key(seed), ci))
+        lam[ci] = np.asarray(lam_c)
+        ibo_per_ant[ci] = 10.0 * np.log10(float(sat) / np.asarray(p_tx))
+        if verbose:
+            print(f"{chan:9s}: per-ant IBO {ibo_per_ant[ci].min():.2f}.."
+                  f"{ibo_per_ant[ci].max():.2f} dB, lambda "
+                  f"{lam[ci].min():.4f}..{lam[ci].max():.4f}")
+
+    ibo_range = np.linspace(ibo_per_ant.min(), ibo_per_ant.max(), 100)
+    alpha_analytic = np.asarray(pa_ops.bussgang_alpha(ibo_range))
+    if save_csv:
+        from mimo_ofdm_tpu.utils import results
+        data = [ibo_per_ant[ci] for ci in range(len(channels_lst))]
+        data += [lam[ci] for ci in range(len(channels_lst))]
+        results.save_to_csv(
+            data, f"alpha_vs_tx_pow_per_ant_nant{n_ant}_ibo{int(ibo_db)}")
+    return ibo_per_ant, lam, ibo_range, alpha_analytic

@@ -230,3 +230,15 @@ def test_mu_sdr_vs_nusers_experiment(tmp_path, monkeypatch):
         assert np.all(sdr[1] > sdr[0])  # higher IBO -> higher SDR
     assert (tmp_path / ("multiuser_sdr_per_usr_vs_ibo_ibo0to6_8nant"
                         "_nsnap8_nusrs1_3.csv")).exists()
+
+
+def test_alpha_vs_tx_pow_lands_on_analytic_curve(tmp_path, monkeypatch):
+    """Per-antenna empirical Bussgang lambda at the per-antenna effective
+    IBO must land on the analytic alpha(IBO) curve for every channel."""
+    monkeypatch.setenv("MIMO_OFDM_TPU_RESULTS", str(tmp_path))
+    from mimo_ofdm_tpu.ops.pa import bussgang_alpha
+    ibo, lam, _, _ = EXPERIMENTS["alpha_vs_tx_pow"](
+        n_ant=8, n_snapshots=64, small=True, verbose=False)
+    ana = np.asarray(bussgang_alpha(ibo))
+    np.testing.assert_allclose(lam, ana, atol=0.01)
+    assert (tmp_path / "alpha_vs_tx_pow_per_ant_nant8_ibo0.csv").exists()
