@@ -131,6 +131,42 @@ def main():
           f"({'OK' if ok_tdl else 'FAIL'})")
     ok &= ok_tdl
 
+    print("== NR-LDPC coded rates (surrogate tables: cliff positions) ==")
+    import os
+
+    def cliff(ebn0, ber, target=1e-3):
+        b = np.asarray(ber, float)
+        m = b > 0
+        if m.sum() < 2 or b[m].min() > target or b[m].max() < target:
+            return float("nan")
+        lb = np.log10(b[m])
+        e = np.asarray(ebn0, float)[m]
+        o = np.argsort(lb)
+        return float(np.interp(np.log10(target), lb[o], e[o]))
+
+    for rate in ("1_2", "1_3", "2_3", "3_4", "7_8"):
+        name = (f"ldpc_{rate}_ber_vs_ebn0_cnc_los_nant16_ibo0"
+                f"_ebn0_min-5_max15_step2.00_niter1_2_3")
+        if not os.path.exists(f"{OD}/{name}.csv"):
+            print(f"  {name}: ours not produced yet — skipped")
+            continue
+        ours, ref = load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
+        deltas = []
+        for ctr, label in ((1, "clean"), (2, "it0"), (5, "it3")):
+            co = cliff(ours[0], ours[ctr])
+            cr = cliff(ref[0], np.interp(ours[0], ref[0], ref[ctr]))
+            d = co - cr if np.isfinite(co) and np.isfinite(cr) else np.nan
+            print(f"    rate {rate} {label}: cliff@1e-3 ours={co:.2f} "
+                  f"ref={cr:.2f} delta={d:+.2f} dB")
+            if np.isfinite(d):
+                deltas.append(abs(d))
+        # surrogate protograph: cliff within ~1.5 dB of the true-table code
+        ok_ldpc = bool(deltas) and max(deltas) <= 1.5
+        print(f"  => ldpc_{rate}: {'OK' if ok_ldpc else 'FAIL'} "
+              f"(max |delta| {'%.2f' % max(deltas) if deltas else 'n/a'} dB, "
+              f"tol 1.5)")
+        ok &= ok_ldpc
+
     print("\nALL OK" if ok else "\nSOME COMPARISONS FAILED")
     return 0 if ok else 1
 
