@@ -131,8 +131,67 @@ def main():
           f"({'OK' if ok_tdl else 'FAIL'})")
     ok &= ok_tdl
 
-    print("== NR-LDPC coded rates (surrogate tables: cliff positions) ==")
     import os
+
+    def maybe(name):
+        if os.path.exists(f"{OD}/{name}.csv"):
+            return load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
+        print(f"  {name}: ours not produced yet — skipped")
+        return None, None
+
+    print("== BER vs n_ant (rows [nant, 3 chan x (clean + it0..it8)]) ==")
+    name = f"ber_vs_nant_cnc_nant1_2_4_8_16_32_64_128_ebn0_15_ibo0_{iters9}"
+    ours, ref = maybe(name)
+    if ours:
+        pairs = []
+        for ci, chan in enumerate(("los", "two_path", "rayleigh")):
+            base = 1 + ci * 10
+            for it in (0, 2, 8):
+                pairs.append((base + 1 + it, base + 1 + it,
+                              f"{chan} it{it}"))
+        ok &= check("ber_vs_nant", row_ratios(ours, ref, pairs, floor=5e-4))
+
+    print("== TOI PA curves (rows [ebn0, clean, it0..it8]) ==")
+    for nant, toi in ((1, 22), (1, 5), (4, 22)):
+        name = (f"toi_ber_vs_ebn0_cnc_two_path_nant{nant}_ibo{toi}"
+                f"_ebn0_min5_max20_step1.00_{iters9}")
+        ours, ref = maybe(name)
+        if ours:
+            pairs = [(1, 1, "clean")] + [(2 + it, 2 + it, f"it{it}")
+                                         for it in (0, 2, 8)]
+            ok &= check(f"toi nant{nant} ibo{toi}",
+                        row_ratios(ours, ref, pairs, floor=5e-4))
+
+    print("== legacy CSI-noise curves (rows [ebn0, clean, it0..it8]) ==")
+    for alg, dbs in (("cnc", (10, 15, 20, 30)), ("mcnc", (10, 15, 20))):
+        for db in dbs:
+            name = (f"ber_vs_ebn0_{alg}_los_csi_noise_db{db}_nant16_ibo0"
+                    f"_ebn0_min5_max20_step1.00_{iters9}")
+            ours, ref = maybe(name)
+            if ours:
+                pairs = [(2 + it, 2 + it, f"it{it}") for it in (0, 2, 8)]
+                ok &= check(f"csi_noise {alg} db{db}",
+                            row_ratios(ours, ref, pairs, floor=5e-4))
+
+    print("== SDR vs IBO (rows [ibo, 5 nant x 3 chan], dB deltas) ==")
+    name = "sdr_vs_ibo_per_channel_ibo0to8_1_4_16_32_64nant"
+    ours, ref = maybe(name)
+    if ours:
+        worst_db = 0.0
+        for ai, nant in enumerate((1, 4, 16, 32, 64)):
+            for ci, chan in enumerate(("los", "two_path", "rayleigh")):
+                r = 1 + ai * 3 + ci
+                n = min(len(ours[r]), len(ref[r]))
+                d = np.abs(ours[r][:n] - ref[r][:n])
+                print(f"    nant{nant} {chan}: |dSDR| med={np.median(d):.2f}"
+                      f" max={d.max():.2f} dB")
+                worst_db = max(worst_db, float(np.median(d)))
+        ok_sdr = worst_db <= 1.0
+        print(f"  => sdr_vs_ibo: worst median |delta| = {worst_db:.2f} dB "
+              f"({'OK' if ok_sdr else 'FAIL'} vs 1.0)")
+        ok &= ok_sdr
+
+    print("== NR-LDPC coded rates (surrogate tables: cliff positions) ==")
 
     def cliff(ebn0, ber, target=1e-3):
         b = np.asarray(ber, float)
