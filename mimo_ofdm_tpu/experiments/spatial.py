@@ -506,12 +506,14 @@ def spatial_corr(channels=("los", "two_path", "rayleigh"),
 
 
 @register("psd_eval")
-def psd_eval(n_ant=64, ibo_db=0.0, n_snapshots=32, psd_nfft=128,
-             n_samp_per_seg=64, seed=0, save_csv=True, verbose=True,
-             small=False):
+def psd_eval(n_ant=64, ibo_db=0.0, pa_model="softlim", n_snapshots=32,
+             psd_nfft=128, n_samp_per_seg=64, seed=0, save_csv=True,
+             verbose=True, small=False):
     """Desired vs distortion PSD at the precoded point
     (``reference/main_beampatterns_plotting/main_mrt_precoding_radiation_pattern.py:181-200``
-    and ``reference/main_misc_evals/main_awgn_psd_ber_eval.py``)."""
+    and ``reference/main_misc_evals/main_awgn_psd_ber_eval.py`` — the
+    latter's SISO all-PA-models sweep is ``--n-ant 1 --pa-model
+    {softlim,rapp,toi}``)."""
     import jax
     import jax.numpy as jnp
     from mimo_ofdm_tpu.models import channels, precoding, transmit
@@ -519,7 +521,7 @@ def psd_eval(n_ant=64, ibo_db=0.0, n_snapshots=32, psd_nfft=128,
     from mimo_ofdm_tpu.models.link import link_static
     from mimo_ofdm_tpu.ops import ofdm
 
-    cfg = _cfg(n_ant, ibo_db, small=small)
+    cfg = _cfg(n_ant, ibo_db, pa_model=pa_model, small=small)
     m, n_fft, n_sc = (cfg.modem.constel_size, cfg.modem.n_fft,
                       cfg.modem.n_sub_carr)
     tx_pos, freqs, rx_base = link_static(cfg)
@@ -527,6 +529,15 @@ def psd_eval(n_ant=64, ibo_db=0.0, n_snapshots=32, psd_nfft=128,
     h_sc = ofdm.extract_subcarriers(h, n_sc)
     v = precoding.mrt_precoder(h_sc)
     sat = precoding.pa_sat_power(ibo_db, cfg.modem.avg_sample_power, v)
+    if pa_model == "toi":
+        # TOI: ibo_db is the intercept point vs the precoded average power
+        # (reference/distortion.py:222-228)
+        from mimo_ofdm_tpu.ops import pa as pa_ops
+        toi_coeff = pa_ops.toi_to_cubic_coeff(
+            ibo_db, cfg.modem.avg_sample_power
+            * precoding.avg_precoding_gain(v))
+    else:
+        toi_coeff = 0.0
     ak = precoding.per_antenna_alpha(
         ibo_db, precoding.precoding_power_per_antenna(v), n_sc, n_ant)
 
@@ -535,7 +546,7 @@ def psd_eval(n_ant=64, ibo_db=0.0, n_snapshots=32, psd_nfft=128,
             k, 0.5, (cfg.modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
         fd_dist, fd_clean = transmit.array_transmit_fd(
             bits, constel_size=m, n_fft=n_fft, v=v, pa_model=cfg.pa.model,
-            sat_power=sat, return_clean=True)
+            sat_power=sat, toi_coeff=toi_coeff, return_clean=True)
         rx = channels.propagate(h, fd_dist, sum_signals=False)
         cl = channels.propagate(h, fd_clean, sum_signals=False)
         desired, distortion = bussgang_split(rx, cl, ak)
