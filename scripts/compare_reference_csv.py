@@ -212,11 +212,17 @@ def main():
         ours, ref = load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
         deltas = []
         for ctr, label in ((1, "clean"), (2, "it0"), (5, "it3")):
-            co = cliff(ours[0], ours[ctr])
-            cr = cliff(ref[0], np.interp(ours[0], ref[0], ref[ctr]))
+            rr = np.interp(ours[0], ref[0], ref[ctr])
+            # steep coded cliffs on a 2 dB grid often jump straight past
+            # 1e-3; fall back to the 1e-2 crossing in that case
+            for target in (1e-3, 1e-2):
+                co, cr = cliff(ours[0], ours[ctr], target), cliff(ours[0],
+                                                                  rr, target)
+                if np.isfinite(co) and np.isfinite(cr):
+                    break
             d = co - cr if np.isfinite(co) and np.isfinite(cr) else np.nan
-            print(f"    rate {rate} {label}: cliff@1e-3 ours={co:.2f} "
-                  f"ref={cr:.2f} delta={d:+.2f} dB")
+            print(f"    rate {rate} {label}: cliff@{target:.0e} "
+                  f"ours={co:.2f} ref={cr:.2f} delta={d:+.2f} dB")
             if np.isfinite(d):
                 deltas.append(abs(d))
         # surrogate protograph: cliff within ~1.5 dB of the true-table code
