@@ -100,6 +100,10 @@ def main():
         "jnp_fft": (cfg.replace(use_mxu_fft=False), dict(n_iters=n_iters)),
         "mxu_f32": (cfg.replace(mxu_fft_storage="float32"),
                     dict(n_iters=n_iters)),
+        # reference-exact complex64 channel block (no planar bf16 fades):
+        # isolates the planar channel-storage gain that landed late in r2
+        "chan_c64": (cfg.replace(channel_storage="complex64"),
+                     dict(n_iters=n_iters)),
         # geometric channel: no per-frame fade PRNG (isolates the cost of
         # drawing 64 x 2048 complex normals per frame for Rayleigh)
         "los_channel": (cfg.replace(channel=ChannelConfig(model="los")),
@@ -147,6 +151,9 @@ def main():
                 round(vr["jnp_fft"]["round_s"] / full, 2),
             "bf16_vs_f32_storage_speedup":
                 round(vr["mxu_f32"]["round_s"] / full, 2),
+            "planar_chan_vs_c64_speedup":
+                round(vr["chan_c64"]["round_s"] / full, 2)
+                if "chan_c64" in vr else None,
             "rayleigh_channel_gen":
                 round(100 * (full - vr["los_channel"]["round_s"]) / full, 1),
             "channel_block_total":

@@ -23,26 +23,34 @@ def stage(name):
     print(f"\n=== [{time.strftime('%H:%M:%S')}] {name} ===", flush=True)
 
 
+def run(name, fn, **kw):
+    stage(name)
+    try:
+        fn(**kw)
+    except Exception as e:  # isolate: one failed family must not kill the batch
+        print(f"FAILED {name}: {str(e)[:300]}", flush=True)
+
+
 def main():
     t0 = time.time()
 
-    stage("sdr_vs_ibo full grid (5 nant x 3 chan x 33 IBO, 500 snaps)")
-    EXPERIMENTS["sdr_vs_ibo"](seed=51)
+    run("sdr_vs_ibo full grid (5 nant x 3 chan x 33 IBO, 500 snaps)",
+        EXPERIMENTS["sdr_vs_ibo"], seed=51)
 
-    stage("toi_ber_vs_ebn0 cnc/two_path nant1 TOI 22.75")
-    EXPERIMENTS["toi_ber_vs_ebn0"](n_ant=1, toi_db=22.75, seed=52)
-    stage("toi_ber_vs_ebn0 cnc/two_path nant1 TOI 5")
-    EXPERIMENTS["toi_ber_vs_ebn0"](n_ant=1, toi_db=5.0, seed=53)
-    stage("toi_ber_vs_ebn0 cnc/two_path nant4 TOI 22.75")
-    EXPERIMENTS["toi_ber_vs_ebn0"](n_ant=4, toi_db=22.75, seed=54)
+    run("toi_ber_vs_ebn0 cnc/two_path nant1 TOI 22.75",
+        EXPERIMENTS["toi_ber_vs_ebn0"], n_ant=1, toi_db=22.75, seed=52)
+    run("toi_ber_vs_ebn0 cnc/two_path nant1 TOI 5",
+        EXPERIMENTS["toi_ber_vs_ebn0"], n_ant=1, toi_db=5.0, seed=53)
+    run("toi_ber_vs_ebn0 cnc/two_path nant4 TOI 22.75",
+        EXPERIMENTS["toi_ber_vs_ebn0"], n_ant=4, toi_db=22.75, seed=54)
 
-    stage("csi_noise cnc nant16")
-    EXPERIMENTS["csi_noise_ber_vs_ebn0"](algorithm="cnc", n_ant=16, seed=55)
-    stage("csi_noise mcnc nant16")
-    EXPERIMENTS["csi_noise_ber_vs_ebn0"](algorithm="mcnc", n_ant=16, seed=56)
+    run("csi_noise cnc nant16",
+        EXPERIMENTS["csi_noise_ber_vs_ebn0"], algorithm="cnc", n_ant=16, seed=55)
+    run("csi_noise mcnc nant16",
+        EXPERIMENTS["csi_noise_ber_vs_ebn0"], algorithm="mcnc", n_ant=16, seed=56)
 
-    stage("ber_vs_nant (3 chan x nant 1..128)")
-    EXPERIMENTS["miso_ber_vs_nant"](seed=57)
+    run("ber_vs_nant (3 chan x nant 1..128)",
+        EXPERIMENTS["miso_ber_vs_nant"], seed=57)
 
     print(f"\nALL DONE in {(time.time() - t0) / 60:.1f} min", flush=True)
     return 0
