@@ -526,6 +526,7 @@ def ldpc_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
 def transport_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
                         n_iters=8, code_rate=0.5, n_blocks=4, rv=0,
                         ldpc_iters=25, ldpc_algorithm="minsum",
+                        serial_decode=False,
                         exact_payload=False, csv_kind=None,
                         ebn0_min=5.0, ebn0_max=15.0,
                         ebn0_step=1.0, n_err_min=10_000,
@@ -567,7 +568,8 @@ def transport_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
               f"rate={chain.coded_rate:.3f}")
     round_fn = make_transport_round_fn(cfg, n_iters, batch, chain,
                                        ldpc_iters=ldpc_iters,
-                                       ldpc_algorithm=ldpc_algorithm)
+                                       ldpc_algorithm=ldpc_algorithm,
+                                       serial_decode=serial_decode)
     ebn0 = np.arange(ebn0_min, ebn0_max + ebn0_step / 2, ebn0_step)
     snrs = ebn0_to_snr(ebn0, modem.n_sub_carr, modem.n_sub_carr,
                        modem.constel_size)
@@ -619,6 +621,7 @@ def ldpc_ref_ber(code_rate_str="1/2", channel="los", algorithm="cnc",
                  n_ant=16, ibo_db=0.0, n_iters=3, ldpc_iters=12,
                  ebn0_min=-5.0, ebn0_max=15.0, ebn0_step=2.0,
                  n_err_min=20_000, bits_sent_max=10_000_000, batch=16,
+                 serial_decode=False,
                  seed=0, save_csv=True, verbose=True, small=False):
     """Reference-parity 5G-NR LDPC coded BER vs Eb/N0 — the exact
     configuration of ``reference/main_cnc_mcnc_w_ldpc/
@@ -636,6 +639,7 @@ def ldpc_ref_ber(code_rate_str="1/2", channel="los", algorithm="cnc",
         channel=channel, algorithm=algorithm, n_ant=n_ant, ibo_db=ibo_db,
         n_iters=n_iters, code_rate=rate, rv=0, ldpc_iters=ldpc_iters,
         ldpc_algorithm="sumprod", exact_payload=True,
+        serial_decode=serial_decode,
         csv_kind=f"ldpc_{num}_{den}_ber_vs_ebn0",
         ebn0_min=ebn0_min, ebn0_max=ebn0_max, ebn0_step=ebn0_step,
         n_err_min=n_err_min, bits_sent_max=bits_sent_max, batch=batch,

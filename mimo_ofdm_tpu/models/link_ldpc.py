@@ -181,6 +181,7 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
                             chain, ldpc_iters: int = 25, *,
                             ldpc_algorithm: str = "minsum",
                             incl_clean: bool = True, reroll: bool = True,
+                            return_llrs: bool = False,
                             dtype=jnp.complex64):
     """Coded frame with the full transport chain — CRC24A attach, code-block
     segmentation (+CRC24B), QC-LDPC encode per block and circular-buffer
@@ -188,7 +189,13 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
     the reference's MATLAB DL-SCH pipeline
     (``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:149-179``). Counts
     payload bit errors and transport-block errors (via the TB CRC) per CNC
-    iteration tap."""
+    iteration tap.
+
+    With ``return_llrs=True`` the frame skips the LDPC decode and instead
+    returns ``(payload_clean, llr_clean, payload_dist, llr_taps)`` in the
+    decoder's sign convention — used by the ``serial_decode`` round, which
+    runs the decode outside the batch vmap (see
+    :func:`make_transport_round_fn`)."""
     from mimo_ofdm_tpu.ops import transport as tp
 
     m = cfg.modem.constel_size
@@ -205,10 +212,15 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
     channel_fn = make_channel_fn(cfg, freqs_sc, rx_base, reroll, dtype)
     precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users)
 
-    def decode_count(sym, payload, snr_db):
+    def decoder_llr(sym, snr_db):
+        """Demapper LLRs in the decoder's sign convention (the reference
+        negates before ``nrLDPCDecode``, ``mp_ldpc_model.py:168-169``)."""
         nv = 2.0 * avg_sym_pow / (10.0 ** (snr_db / 10.0))
-        llr = qam.soft_llr(sym, m, nv)
-        rx, ok = tp.transport_decode(chain, -llr, n_iters=ldpc_iters,
+        return -qam.soft_llr(sym, m, nv)
+
+    def decode_count(sym, payload, snr_db):
+        rx, ok = tp.transport_decode(chain, decoder_llr(sym, snr_db),
+                                     n_iters=ldpc_iters,
                                      algorithm=ldpc_algorithm)
         bit_err = bits_ops.count_bit_errors(payload, rx)
         blk_err = (~ok).astype(jnp.int32)
@@ -232,8 +244,13 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
             rx = noise_ops.awgn(k_noise_c, rx, snr_db,
                                 avg_sym_pow * agc.hk_vk_noise_scaler)
             rx = rx / agc.hk_vk_agc_sc
-            clean_err, clean_blk = decode_count(rx, pay_c, snr_db)
+            if return_llrs:
+                clean_llr = decoder_llr(rx, snr_db)
+            else:
+                clean_err, clean_blk = decode_count(rx, pay_c, snr_db)
         else:
+            pay_c = jnp.zeros((chain.a,), jnp.int8)
+            clean_llr = jnp.zeros((chain.e_total,), jnp.float32)
             clean_err = jnp.zeros((), jnp.int32)
             clean_blk = jnp.zeros((), jnp.int32)
 
@@ -262,6 +279,9 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
                 mxu_storage=cfg.mxu_fft_storage)
         corr_all = receivers.cnc_iterate_soft(rx_sc, n_iters, m, replica)
 
+        if return_llrs:
+            tap_llrs = jax.vmap(lambda sym: decoder_llr(sym, snr_db))(corr_all)
+            return pay_c, clean_llr, pay_d, tap_llrs
         dist_err, dist_blk = jax.lax.map(
             lambda sym: decode_count(sym, pay_d, snr_db), corr_all)
         return TransportFrameCounters(clean_err=clean_err, clean_blk=clean_blk,
@@ -274,22 +294,70 @@ def make_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
                             chain, ldpc_iters: int = 25, *,
                             ldpc_algorithm: str = "minsum",
                             incl_clean: bool = True, reroll: bool = True,
+                            serial_decode: int = 0,
                             dtype=jnp.complex64):
     """Jitted transport-coded Monte-Carlo round summed over ``batch``
-    frames."""
+    frames.
+
+    ``serial_decode`` (chunk size, 0 = off) keeps the OFDM/PA/CNC chain
+    vmapped over the batch but runs the LDPC decode as a chunked
+    ``lax.map`` over the flattened (frame, tap, code-block) items. The
+    Mosaic backend behind the remote compile helper SIGSEGVs on the
+    fully-batched sum-product decoder for some code shapes (observed:
+    BG1 Zc=224, the rate-3/4 and 7/8 C=2 transport chains, any batch
+    >= 2); chunk-16 bodies with the decoder's ``fusion_barrier`` compile
+    and cost ~20x less wall time than chunk 1. Statistics are identical
+    — only the device schedule changes."""
+    from mimo_ofdm_tpu.ops import transport as tp
+
     frame_fn = make_transport_frame_fn(cfg, n_iters, chain, ldpc_iters,
                                        ldpc_algorithm=ldpc_algorithm,
                                        incl_clean=incl_clean, reroll=reroll,
+                                       return_llrs=serial_decode,
                                        dtype=dtype)
     tx_pos = link_static(cfg, dtype)[0]
+
+    if not serial_decode:
+        @jax.jit
+        def round_fn(key: Array, snr_db: Array) -> TransportFrameCounters:
+            keys = jax.random.split(key, batch)
+            counters = jax.vmap(frame_fn, in_axes=(0, None, None))(
+                keys, snr_db, tx_pos)
+            return jax.tree.map(
+                lambda x: jnp.sum(x, axis=0, dtype=jnp.int32), counters)
+
+        return round_fn
+
+    n_taps = n_iters + 1
 
     @jax.jit
     def round_fn(key: Array, snr_db: Array) -> TransportFrameCounters:
         keys = jax.random.split(key, batch)
-        counters = jax.vmap(frame_fn, in_axes=(0, None, None))(keys, snr_db,
-                                                               tx_pos)
-        return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
-                            counters)
+        pay_c, llr_c, pay_d, llr_d = jax.vmap(
+            frame_fn, in_axes=(0, None, None))(keys, snr_db, tx_pos)
+        # [batch, E] clean + [batch, n_taps, E] dist -> flat item axis
+        flat = llr_d.reshape(batch * n_taps, chain.e_total)
+        if incl_clean:
+            flat = jnp.concatenate([llr_c, flat], axis=0)
+
+        rx, ok = tp.transport_decode(chain, flat, n_iters=ldpc_iters,
+                                     algorithm=ldpc_algorithm,
+                                     serial_blocks=int(serial_decode))
+        n_clean = batch if incl_clean else 0
+        if incl_clean:
+            clean_err = jnp.sum(bits_ops.count_bit_errors(
+                pay_c, rx[:n_clean], axis=-1), dtype=jnp.int32)
+            clean_blk = jnp.sum((~ok[:n_clean]).astype(jnp.int32))
+        else:
+            clean_err = jnp.zeros((), jnp.int32)
+            clean_blk = jnp.zeros((), jnp.int32)
+        rx_d = rx[n_clean:].reshape(batch, n_taps, chain.a)
+        ok_d = ok[n_clean:].reshape(batch, n_taps)
+        dist_err = jnp.sum(bits_ops.count_bit_errors(
+            pay_d[:, None, :], rx_d, axis=-1), axis=0, dtype=jnp.int32)
+        dist_blk = jnp.sum((~ok_d).astype(jnp.int32), axis=0)
+        return TransportFrameCounters(clean_err=clean_err, clean_blk=clean_blk,
+                                      dist_err=dist_err, dist_blk=dist_blk)
 
     return round_fn
 

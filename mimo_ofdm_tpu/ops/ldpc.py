@@ -189,7 +189,8 @@ def _decode_tables(code: QcLdpcCode):
 
 def decode(code: QcLdpcCode, llr: Array, n_iters: int = 25,
            normalization: float = 0.75,
-           algorithm: str = "minsum") -> Array:
+           algorithm: str = "minsum",
+           fusion_barrier: bool = False) -> Array:
     """Flooding BP decode: normalized min-sum (default) or exact
     sum-product (``algorithm="sumprod"``, the tanh rule in the stable
     phi-function form — matches MATLAB ``nrLDPCDecode``'s default
@@ -200,6 +201,13 @@ def decode(code: QcLdpcCode, llr: Array, n_iters: int = 25,
     negates the demapper's positive=bit-1 LLRs before decoding,
     ``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:168-169``).
     Returns hard info bits ``[..., K]``.
+
+    ``fusion_barrier`` inserts a semantics-neutral
+    ``lax.optimization_barrier`` between the two phi passes of the
+    sum-product check update. The Mosaic backend SIGSEGVs compiling the
+    fully-fused batched sum-product for some (code, batch) shapes
+    (observed: BG1 Zc=224 at any batch >= 2); the barrier splits the
+    fusion and lets batch-16 bodies compile. Bit-identical output.
     """
     (chk_var_idx, chk_mask, edge_id, var_edge_idx, var_mask, edge_var,
      edge_pos, n_edges) = _decode_tables(code)
@@ -229,6 +237,8 @@ def decode(code: QcLdpcCode, llr: Array, n_iters: int = 25,
             m = jnp.clip(mag, 1e-6, 30.0)
             phi = -jnp.log(jnp.tanh(m / 2.0))
             phi = jnp.where(chk_mask, phi, 0.0)
+            if fusion_barrier:
+                phi = jax.lax.optimization_barrier(phi)
             excl = jnp.sum(phi, axis=-1, keepdims=True) - phi
             excl = jnp.clip(excl, 1e-6, 30.0)
             out_mag = -jnp.log(jnp.tanh(excl / 2.0))

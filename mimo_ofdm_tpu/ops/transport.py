@@ -231,10 +231,20 @@ def transport_encode(chain: TransportChain, payload: Array) -> Array:
 
 def transport_decode(chain: TransportChain, llr: Array,
                      n_iters: int = 25,
-                     algorithm: str = "minsum") -> tuple[Array, Array]:
+                     algorithm: str = "minsum",
+                     serial_blocks: int = 0) -> tuple[Array, Array]:
     """``[..., E_total]`` LLRs (positive = bit 0) -> ``(payload [..., A],
     tb_crc_ok [...])``. De-rate-match scatter-adds repeated bits; filler
-    positions get a large known-zero LLR."""
+    positions get a large known-zero LLR.
+
+    ``serial_blocks`` (chunk size; 0 = off) runs the per-code-block BP
+    decode as a ``lax.map`` over the flattened leading+block axes in
+    chunks of that many blocks, instead of one fully-batched decode.
+    Mosaic SIGSEGVs compiling the fully-fused batched sum-product decoder
+    for some (code, batch) shapes (see
+    ``models/link_ldpc.make_transport_round_fn``); chunked bodies with
+    the decoder's ``fusion_barrier`` compile, and chunk 16 costs ~20x
+    less wall time than chunk 1. Bit-identical statistics either way."""
     code = chain.code
     lead = llr.shape[:-1]
     sel, filler = _rm_tables(chain)
@@ -242,8 +252,23 @@ def transport_decode(chain: TransportChain, llr: Array,
     buf = jnp.zeros((*lead, chain.c, code.n), jnp.float32)
     buf = buf.at[..., sel].add(per_cb)
     buf = jnp.where(filler, _FILLER_LLR, buf)
-    info = ldpc.decode(code, buf, n_iters=n_iters,
-                       algorithm=algorithm)                # [..., C, K]
+    if serial_blocks:
+        g = int(serial_blocks)
+        flat = buf.reshape(-1, code.n)
+        n_items = flat.shape[0]
+        pad = (-n_items) % g
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, code.n), jnp.float32)], axis=0)
+        body = (lambda b: ldpc.decode(code, b, n_iters=n_iters,
+                                      algorithm=algorithm,
+                                      fusion_barrier=True))
+        info = jax.lax.map(body, flat.reshape(-1, g, code.n))
+        info = info.reshape(-1, code.k)[:n_items]
+        info = info.reshape(*lead, chain.c, code.k)        # [..., C, K]
+    else:
+        info = ldpc.decode(code, buf, n_iters=n_iters,
+                           algorithm=algorithm)            # [..., C, K]
     info = info[..., : chain.k_prime]
     if chain.cb_crc:
         info = info[..., : chain.k_prime - 24]             # strip CRC24B

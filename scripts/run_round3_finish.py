@@ -37,20 +37,21 @@ def main():
                         os.path.join(HERE, "profile_breakdown.py")],
                        env=env, check=False)
 
-    stage("run_reproduction_r3b (sdr grid, TOI, csi_noise, ber_vs_nant)")
-    subprocess.run([sys.executable,
-                    os.path.join(HERE, "run_reproduction_r3b.py")],
-                   env=dict(os.environ), check=False)
+    if os.environ.get("SKIP_R3B") != "1":
+        stage("run_reproduction_r3b (sdr grid, TOI, csi_noise, ber_vs_nant)")
+        subprocess.run([sys.executable,
+                        os.path.join(HERE, "run_reproduction_r3b.py")],
+                       env=dict(os.environ), check=False)
 
-    # the C=2 transport programs (rates 3/4 and 7/8 segment into two code
-    # blocks) exceed what the remote compile helper survives at batch 16 —
-    # run them at batch 8, and isolate failures so the batch continues
-    for rate, b in (("3/4", 8), ("7/8", 8)):
-        stage(f"ldpc_ref_ber rate {rate} nant16 (batch {b})")
+    # Mosaic SIGSEGVs on the batched sum-product decoder for the C=2
+    # transport codes (rates 3/4 and 7/8) — run them through the chunked
+    # serial-decode path (bit-identical statistics, compiles everywhere)
+    for rate in ("3/4", "7/8"):
+        stage(f"ldpc_ref_ber rate {rate} nant16 (serial_decode=16)")
         try:
             EXPERIMENTS["ldpc_ref_ber"](code_rate_str=rate, n_ant=16,
                                         n_iters=3, ldpc_iters=12, seed=3,
-                                        batch=b)
+                                        serial_decode=16)
         except Exception as e:
             print(f"FAILED rate {rate}: {str(e)[:300]}", flush=True)
 

@@ -139,3 +139,49 @@ def test_transport_chain_sizing_errors():
     with pytest.raises(ValueError):
         # a too large to ever fit: > C_max * (K-24) for any C dividing e_total
         make_transport_chain(code, e_total=10, a=5000)
+
+
+@pytest.mark.parametrize("chunk", [1, 4])
+def test_serial_decode_round_matches_vmapped(chunk):
+    """The serial/chunked LDPC decode path (the Mosaic SIGSEGV workaround
+    for the batched sum-product decoder, ``models/link_ldpc.
+    make_transport_round_fn(serial_decode=...)`` + ``transport_decode(
+    serial_blocks=...)``) must reproduce the fully-vmapped round's
+    counters bit-exactly — only the device schedule changes."""
+    from mimo_ofdm_tpu.models.link_ldpc import (make_transport_round_fn,
+                                                transport_chain_for_modem)
+    from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig,
+                                            LinkConfig, ModemConfig,
+                                            PaConfig, RxConfig)
+    modem = ModemConfig(constel_size=16, n_fft=256, n_sub_carr=128, cp_len=16)
+    cfg = LinkConfig(modem=modem, array=ArrayConfig(n_elements=4),
+                     channel=ChannelConfig(model="rayleigh"),
+                     precoding="mrt", pa=PaConfig(model="softlim", ibo_db=0.0),
+                     rx=RxConfig(algorithm="cnc"))
+    # family="ira" with n_blocks=2 segments into C=2 code blocks, covering
+    # the flattened (frame, tap, block) item axis and the pad path
+    chain = transport_chain_for_modem(cfg, code_rate=0.5, n_blocks=2,
+                                      family="ira")
+    assert chain.c == 2
+    key = jax.random.key(7)
+    ref = make_transport_round_fn(cfg, 2, 4, chain, ldpc_iters=6,
+                                  ldpc_algorithm="sumprod")(key, 8.0)
+    got = make_transport_round_fn(cfg, 2, 4, chain, ldpc_iters=6,
+                                  ldpc_algorithm="sumprod",
+                                  serial_decode=chunk)(key, 8.0)
+    for f in ("clean_err", "clean_blk", "dist_err", "dist_blk"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f)),
+                                      np.asarray(getattr(got, f)))
+
+
+def test_decode_fusion_barrier_bit_identical():
+    """``ldpc.decode(..., fusion_barrier=True)`` only splits XLA fusion;
+    hard outputs must be identical for both algorithms."""
+    code = _small_code()
+    rng = np.random.default_rng(3)
+    llr = jnp.asarray(rng.normal(size=(4, code.n)).astype(np.float32)) * 2.0
+    for alg in ("sumprod", "minsum"):
+        a = ldpc.decode(code, llr, n_iters=8, algorithm=alg)
+        b = ldpc.decode(code, llr, n_iters=8, algorithm=alg,
+                        fusion_barrier=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
