@@ -248,10 +248,11 @@ def sdr_vs_ibo(channels=("los", "two_path", "rayleigh"),
         ibo_values = np.arange(ibo_min, ibo_max, ibo_step)
     ibo_values = np.asarray(ibo_values, float)
     sdr = np.zeros((len(n_ant_values), len(channels), len(ibo_values)))
+    sdr_lin = np.zeros_like(sdr)
     for ai, n_ant in enumerate(n_ant_values):
         for ci, chan in enumerate(channels):
             cfg = _cfg(int(n_ant), 0.0, chan=chan, small=small)
-            sdr[ai, ci] = sdr_vs_ibo_curve(
+            sdr[ai, ci], sdr_lin[ai, ci] = sdr_vs_ibo_curve(
                 cfg, jax.random.fold_in(jax.random.key(seed),
                                         100 * ai + ci),
                 ibo_values, rx_pos, n_snapshots=n_snapshots)
@@ -259,10 +260,12 @@ def sdr_vs_ibo(channels=("los", "two_path", "rayleigh"),
                 print(f"nant{n_ant} {chan}: SDR[dB] = "
                       f"{np.array2string(sdr[ai, ci], precision=2)}")
     if save_csv:
+        # the committed reference CSV stores *linear* SDR ratios (its
+        # replot layer applies to_db) — write the same units
         nants = "_".join(str(int(v)) for v in n_ant_values)
         data = [ibo_values]
         for ai in range(len(n_ant_values)):
-            data.extend(sdr[ai, ci] for ci in range(len(channels)))
+            data.extend(sdr_lin[ai, ci] for ci in range(len(channels)))
         results.save_to_csv(
             data, f"sdr_vs_ibo_per_channel_ibo{int(min(ibo_values))}"
                   f"to{int(max(ibo_values))}_{nants}nant")

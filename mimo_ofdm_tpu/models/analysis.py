@@ -578,12 +578,15 @@ def make_sdr_fn(cfg: LinkConfig, rx_pos, *, n_snapshots: int = 500,
                 desired, distortion = bussgang_split(rx_sc, cl_sc, ak)
                 d = jnp.sum(jnp.abs(jnp.sum(desired, axis=0)) ** 2)
                 e = jnp.sum(jnp.abs(jnp.sum(distortion, axis=0)) ** 2)
-                return 10.0 * jnp.log10(d / e)
+                return d / e
 
             keys = jax.random.split(jax.random.fold_in(key, idx),
                                     n_snapshots)
-            return jnp.mean(jax.lax.map(one_snap, keys,
-                                        batch_size=snap_chunk))
+            ratios = jax.lax.map(one_snap, keys, batch_size=snap_chunk)
+            # dB-mean matches the reference script's live code
+            # (``main_sdr_vs_ibo_vs_channel.py:147,153``); the linear mean
+            # matches its *committed* CSV (which stores raw ratios)
+            return (jnp.mean(10.0 * jnp.log10(ratios)), jnp.mean(ratios))
 
         n = ibo_values.shape[0]
         return jax.lax.map(one_ibo, (jnp.arange(n), ibo_values))
@@ -593,12 +596,17 @@ def make_sdr_fn(cfg: LinkConfig, rx_pos, *, n_snapshots: int = 500,
 
 def sdr_vs_ibo_curve(cfg: LinkConfig, key: Array, ibo_values, rx_pos, *,
                      n_snapshots: int = 500, reroll: bool = True,
-                     snap_chunk: int = 16, dtype=jnp.complex64) -> np.ndarray:
-    """SDR [dB] per IBO value for one (array, channel) config — one
-    compile for the whole IBO grid."""
+                     snap_chunk: int = 16,
+                     dtype=jnp.complex64) -> tuple[np.ndarray, np.ndarray]:
+    """``(sdr_db, sdr_linear)`` per IBO value for one (array, channel)
+    config — one compile for the whole IBO grid. ``sdr_db`` is the
+    snapshot dB-mean (the reference script's live convention), the linear
+    row is the snapshot mean of raw ratios (the units of its committed
+    ``sdr_vs_ibo_per_channel_*`` CSV)."""
     run = make_sdr_fn(cfg, rx_pos, n_snapshots=n_snapshots, reroll=reroll,
                       snap_chunk=snap_chunk, dtype=dtype)
-    return np.asarray(run(key, jnp.asarray(ibo_values, jnp.float32)))
+    db, lin = run(key, jnp.asarray(ibo_values, jnp.float32))
+    return np.asarray(db), np.asarray(lin)
 
 
 def mu_angle_overlap_scan(cfg: LinkConfig, key: Array, *,

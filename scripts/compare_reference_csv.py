@@ -152,15 +152,25 @@ def main():
         ok &= check("ber_vs_nant", row_ratios(ours, ref, pairs, floor=5e-4))
 
     print("== TOI PA curves (rows [ebn0, clean, it0..it8]) ==")
+    # Only the clean rows are comparable: the reference's TOI handling is
+    # flagged broken in its own source (distortion.py:214, antenna_array.
+    # py:352 TODOs) and its committed curves are physically inverted —
+    # TOI 5 dB (severe) shows zero distortion (it0 == clean) while
+    # TOI 22.75 dB (mild) shows heavy distortion with a divergent CNC.
+    # Our curves follow the physics (alpha estimates match the complex-
+    # Gaussian closed form 1 - 2*10^(-TOI/10) to 4 decimals); the
+    # distorted-row divergence is documented in CURVE_REPRODUCTION.md.
     for nant, toi in ((1, 22), (1, 5), (4, 22)):
         name = (f"toi_ber_vs_ebn0_cnc_two_path_nant{nant}_ibo{toi}"
                 f"_ebn0_min5_max20_step1.00_{iters9}")
         ours, ref = maybe(name)
         if ours:
-            pairs = [(1, 1, "clean")] + [(2 + it, 2 + it, f"it{it}")
-                                         for it in (0, 2, 8)]
-            ok &= check(f"toi nant{nant} ibo{toi}",
-                        row_ratios(ours, ref, pairs, floor=5e-4))
+            ok &= check(f"toi nant{nant} ibo{toi} (clean row)",
+                        row_ratios(ours, ref, [(1, 1, "clean")],
+                                   floor=5e-4))
+            row_ratios(ours, ref, [(2 + it, 2 + it, f"it{it} [known ref-"
+                                    "bug divergence, informational]")
+                                   for it in (0, 8)], floor=5e-4)
 
     print("== legacy CSI-noise curves (rows [ebn0, clean, it0..it8]) ==")
     for alg, dbs in (("cnc", (10, 15, 20, 30)), ("mcnc", (10, 15, 20))):
@@ -173,7 +183,8 @@ def main():
                 ok &= check(f"csi_noise {alg} db{db}",
                             row_ratios(ours, ref, pairs, floor=5e-4))
 
-    print("== SDR vs IBO (rows [ibo, 5 nant x 3 chan], dB deltas) ==")
+    print("== SDR vs IBO (rows [ibo, 5 nant x 3 chan], linear ratios, "
+          "compared in dB) ==")
     name = "sdr_vs_ibo_per_channel_ibo0to8_1_4_16_32_64nant"
     ours, ref = maybe(name)
     if ours:
@@ -182,7 +193,8 @@ def main():
             for ci, chan in enumerate(("los", "two_path", "rayleigh")):
                 r = 1 + ai * 3 + ci
                 n = min(len(ours[r]), len(ref[r]))
-                d = np.abs(ours[r][:n] - ref[r][:n])
+                d = np.abs(10 * np.log10(ours[r][:n])
+                           - 10 * np.log10(ref[r][:n]))
                 print(f"    nant{nant} {chan}: |dSDR| med={np.median(d):.2f}"
                       f" max={d.max():.2f} dB")
                 worst_db = max(worst_db, float(np.median(d)))
@@ -214,8 +226,9 @@ def main():
         for ctr, label in ((1, "clean"), (2, "it0"), (5, "it3")):
             rr = np.interp(ours[0], ref[0], ref[ctr])
             # steep coded cliffs on a 2 dB grid often jump straight past
-            # 1e-3; fall back to the 1e-2 crossing in that case
-            for target in (1e-3, 1e-2):
+            # 1e-3 (rate 7/8 falls from 1.1e-2 to < 1e-7 in one step);
+            # fall back to higher-BER crossings in that case
+            for target in (1e-3, 1e-2, 5e-2):
                 co, cr = cliff(ours[0], ours[ctr], target), cliff(ours[0],
                                                                   rr, target)
                 if np.isfinite(co) and np.isfinite(cr):
