@@ -204,3 +204,71 @@ def alpha_vs_tx_pow(n_ant=64, ibo_db=0.0, n_snapshots=256,
         results.save_to_csv(
             data, f"alpha_vs_tx_pow_per_ant_nant{n_ant}_ibo{int(ibo_db)}")
     return ibo_per_ant, lam, ibo_range, alpha_analytic
+
+
+@register("precoding_nl_commutation")
+def precoding_nl_commutation(ibo_db=0.0, phase_cycles=10.0, n_frames=64,
+                             small=True, verbose=True, seed=0):
+    """Does the PA nonlinearity commute with phase-only precoding?
+    (``reference/main_misc_evals/precoding_after_nl_test.py`` — the
+    reference probes this by forcing a synthetic unit-magnitude channel
+    with a frequency-swept phase, ``:72-96``, and comparing the distorted
+    constellation with and without the resulting phase precoder.)
+
+    Measures the distorted-constellation EVM of a phase-precoded frame
+    for three precoders: ``"none"`` (baseline), ``"flat"`` (one common
+    phase on every subcarrier — a pure time shift, so the clip
+    distortion is *identical* and the EVMs match to rounding), and
+    ``"swept"`` (the reference's linearly-swept phase spanning
+    ``phase_cycles`` cycles across the band — changes the time-domain
+    envelope, so the distortion differs). Returns ``{name: evm}``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.models import transmit
+    from mimo_ofdm_tpu.ops import metrics, ofdm, pa, qam
+    from mimo_ofdm_tpu.utils.config import ModemConfig
+    modem = ModemConfig(constel_size=64, n_fft=256 if small else 1024,
+                        n_sub_carr=128 if small else 512,
+                        cp_len=16 if small else 128)
+    m, n_fft, n_sc = modem.constel_size, modem.n_fft, modem.n_sub_carr
+    sat = pa.ibo_to_sat_power(ibo_db, modem.avg_sample_power)
+    alpha = pa.bussgang_alpha(ibo_db)
+    k = np.arange(n_sc)
+    phases = {
+        "none": np.zeros(n_sc),
+        "flat": np.full(n_sc, 0.7),
+        "swept": 2.0 * np.pi * phase_cycles * k / n_sc,
+    }
+
+    @jax.jit
+    def evm_for(key, phase):
+        v = jnp.exp(1j * phase.astype(jnp.complex64))[None, :]
+
+        def one(kk):
+            bits = jax.random.bernoulli(
+                kk, 0.5, (modem.n_bits_per_ofdm_sym,)).astype(jnp.int8)
+            sym = qam.modulate_bits(bits, m)
+            fd = transmit.array_transmit_fd(
+                bits, constel_size=m, n_fft=n_fft, v=v,
+                pa_model="softlim", sat_power=sat)
+            rx = ofdm.extract_subcarriers(fd[0], n_sc)
+            # undo the precoder phase and the Bussgang shrink, then
+            # measure the residual clip-distortion EVM
+            eq = rx * jnp.conj(v[0]) / alpha
+            return metrics.evm_rms(eq, sym)
+
+        keys = jax.random.split(key, n_frames)
+        return jnp.mean(jax.lax.map(one, keys))
+
+    out = {}
+    key = jax.random.key(seed)   # same bit/frame stream for every variant:
+    for name, ph in phases.items():   # "flat" must equal "none" exactly
+        out[name] = float(evm_for(key, jnp.asarray(ph)))
+        if verbose:
+            print(f"precoder {name:5s}: distorted EVM = {out[name]:.5f}")
+    if verbose:
+        print("flat-phase EVM equals baseline (distortion commutes with a "
+              "common phase); swept-phase EVM differs (it does not commute "
+              "with frequency-selective phase)")
+    return out

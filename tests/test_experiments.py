@@ -242,3 +242,14 @@ def test_alpha_vs_tx_pow_lands_on_analytic_curve(tmp_path, monkeypatch):
     ana = np.asarray(bussgang_alpha(ibo))
     np.testing.assert_allclose(lam, ana, atol=0.01)
     assert (tmp_path / "alpha_vs_tx_pow_per_ant_nant8_ibo0.csv").exists()
+
+
+def test_precoding_nl_commutation_structure():
+    """Clip distortion commutes with a common (flat) phase precoder —
+    EVM identical to baseline on the same bit stream — but not with a
+    frequency-swept phase (``reference/main_misc_evals/
+    precoding_after_nl_test.py``'s question, answered deterministically)."""
+    out = EXPERIMENTS["precoding_nl_commutation"](n_frames=16, small=True,
+                                                  verbose=False, seed=3)
+    assert out["flat"] == pytest.approx(out["none"], rel=1e-5)
+    assert abs(out["swept"] - out["none"]) > 1e-3 * out["none"]
