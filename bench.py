@@ -9,7 +9,11 @@ IBO 0 dB, MRT precoding, Rayleigh channel rerolled per frame, clean run +
 Prints ONE JSON line: frames/s on this chip, with ``vs_baseline`` the
 speedup over the reference-style CPU implementation (per-antenna Python
 loop + per-call FFTs), measured once on this machine and cached in
-``BASELINE_CPU.json``.
+``BASELINE_CPU.json``. The line also carries ``mcnc_frames_per_s`` — the
+same canonical frame with the MCNC receiver (replica = the full
+64-antenna TX + channel chain per iteration, ~K x the CNC replica cost,
+``reference/main_misc_evals/comp_complexity_eval.py:30-35``) — measured
+in a second, shorter window. Set ``BENCH_SKIP_MCNC=1`` to skip it.
 """
 
 import json
@@ -67,6 +71,32 @@ def main():
     dt = time.perf_counter() - t0
     frames_per_s = n_rounds * batch / dt
 
+    # MCNC arm: same frame, model-aware (full TX+channel replica) receiver
+    mcnc_fps = None
+    if not os.environ.get("BENCH_SKIP_MCNC"):
+        from mimo_ofdm_tpu.utils.config import RxConfig
+        mcnc_batch = int(os.environ.get("BENCH_MCNC_BATCH", "256"))
+        mcnc_round = make_round_fn(cfg.replace(rx=RxConfig(algorithm="mcnc")),
+                                   n_iters=n_iters, batch=mcnc_batch)
+        consume(mcnc_round(key, snr))
+        for i in range(3):
+            consume(mcnc_round(jax.random.fold_in(key, 20_000 + i), snr))
+        t0 = time.perf_counter()
+        n_mcnc = 0
+        pending = []
+        for _ in range(depth - 1):
+            pending.append(mcnc_round(jax.random.fold_in(key, 30_000 + n_mcnc),
+                                      snr))
+            n_mcnc += 1
+        while time.perf_counter() - t0 < 6.0:
+            pending.append(mcnc_round(jax.random.fold_in(key, 30_000 + n_mcnc),
+                                      snr))
+            n_mcnc += 1
+            consume(pending.pop(0))
+        for p in pending:
+            consume(p)
+        mcnc_fps = n_mcnc * mcnc_batch / (time.perf_counter() - t0)
+
     # CPU baseline (cached)
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
@@ -81,12 +111,15 @@ def main():
                        "note": "reference-style per-antenna-loop CPU implementation, "
                                "canonical 64-ant 4096-FFT CNC-8 frame"}, f)
 
-    print(json.dumps({
+    out = {
         "metric": "canonical_miso_cnc_frames_per_s",
         "value": round(frames_per_s, 2),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / baseline, 2),
-    }))
+    }
+    if mcnc_fps is not None:
+        out["mcnc_frames_per_s"] = round(mcnc_fps, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

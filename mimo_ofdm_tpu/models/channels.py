@@ -227,18 +227,37 @@ TDL_PROFILES["umi_nlos"] = TDL_PROFILES["tdl_a"]
 TDL_PROFILES["uma_nlos"] = TDL_PROFILES["tdl_c"]
 
 
+# TR 38.901 Table 7.5-3: ray offset angles within a cluster (in units of
+# the per-cluster angular spread), 20 rays as +-pairs
+RAY_OFFSETS = np.array([0.0447, 0.1413, 0.2492, 0.3715, 0.5129, 0.6797,
+                        0.8844, 1.1481, 1.5195, 2.1551])
+RAY_OFFSETS = np.concatenate([RAY_OFFSETS, -RAY_OFFSETS])
+
+
 def tdl_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
                 profile: str = "uma_los", delay_spread: float = 300e-9,
                 skip_attenuation: bool = False, tx_gain_db: float = 0.0,
-                rx_gain_db: float = 0.0, dtype=jnp.complex64) -> Array:
+                rx_gain_db: float = 0.0, n_subpaths: int = 20,
+                asd_deg: float = 5.0, dtype=jnp.complex64) -> Array:
     """Stochastic tapped-delay-line channel with the exact TR 38.901
-    Table 7.7.2-x profiles: per-tap Rayleigh coefficients (plus the
+    Table 7.7.2-x profiles: per-tap Rayleigh fading (plus the
     deterministic specular component on LOS profiles) with array phase
-    steering per tap DoA, mapped to frequency via ``exp(-2j pi f tau)``,
-    total power normalized to 1 before the free-space attenuation. Native
-    substitute for the MATLAB/Quadriga 3GPP 38.901 channels
+    steering, mapped to frequency via ``exp(-2j pi f tau)``, total power
+    normalized to 1 before the free-space attenuation. Native substitute
+    for the MATLAB/Quadriga 3GPP 38.901 channels
     (``reference/channel.py:404-494``,
-    ``reference/main_quadriga_channel/qd_channel_env_setup.m``)."""
+    ``reference/main_quadriga_channel/qd_channel_env_setup.m``).
+
+    Each tap is a **sum of ``n_subpaths`` rays** whose departure angles
+    spread around the tap DoA by the TR 38.901 Table 7.5-3 ray offsets
+    scaled by the per-cluster azimuth spread ``asd_deg`` (section 7.5
+    step 7), each ray carrying an independent CN(0, p_tap/n) coefficient
+    — the intra-cluster angular spread that decorrelates a tap across
+    the array. ``n_subpaths=1`` reproduces the rank-1-per-tap model used
+    in rounds 2-3, whose missing spread made iterative (CNC/MCNC)
+    convergence too fast vs the committed Quadriga curves
+    (docs/CURVE_REPRODUCTION.md). The specular LOS component stays a
+    single unspread ray."""
     prof = TDL_PROFILES[profile]
     delays = jnp.asarray(prof["delays"] * delay_spread)
     powers = 10.0 ** (jnp.asarray(prof["powers_db"]) / 10.0)
@@ -250,21 +269,38 @@ def tdl_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
     n_taps = delays.shape[0]
 
     k_fade, k_doa = jax.random.split(key)
-    fade = complex_normal(k_fade, (n_taps,), dtype)
-    doa = jax.random.uniform(k_doa, (n_taps,), minval=-jnp.pi / 2, maxval=jnp.pi / 2)
-
+    doa = jax.random.uniform(k_doa, (n_taps,), minval=-jnp.pi / 2,
+                             maxval=jnp.pi / 2)
     # per-tap array steering from element x-offsets (broadside ULA approx)
     delta = tx_pos[..., :, 0] - jnp.mean(tx_pos[..., :, 0])
     fc = jnp.mean(freqs)
-    steer = jnp.exp(2j * jnp.pi * fc / C_LIGHT
-                    * delta[:, None] * jnp.sin(doa)[None, :])      # [n_ant, n_taps]
-    gain = jnp.sqrt(powers) * fade
-    if prof["los_db"] is not None:
-        # deterministic specular component shares tap 0's delay/DoA
-        gain = gain.at[0].add(jnp.sqrt(los_pow).astype(dtype))
-    tap_gain = gain[None, :] * steer                               # [n_ant, n_taps]
+    wavenum = 2.0 * jnp.pi * fc / C_LIGHT
+
+    if n_subpaths <= 1:
+        fade = complex_normal(k_fade, (n_taps,), dtype)
+        steer = jnp.exp(1j * wavenum
+                        * delta[:, None] * jnp.sin(doa)[None, :])
+        gain = jnp.sqrt(powers) * fade
+        if prof["los_db"] is not None:
+            gain = gain.at[0].add(jnp.sqrt(los_pow).astype(dtype))
+        tap_gain = gain[None, :] * steer                   # [n_ant, n_taps]
+    else:
+        n_rays = n_subpaths
+        offsets = jnp.asarray(
+            np.resize(RAY_OFFSETS, n_rays) * np.radians(asd_deg))
+        ray_doa = doa[:, None] + offsets[None, :]          # [n_taps, n_rays]
+        fade = complex_normal(k_fade, (n_taps, n_rays), dtype)
+        ray_gain = jnp.sqrt(powers / n_rays)[:, None] * fade
+        steer = jnp.exp(1j * wavenum * delta[:, None, None]
+                        * jnp.sin(ray_doa)[None, :, :])    # [n_ant, n_taps, n_rays]
+        tap_gain = jnp.sum(ray_gain[None, :, :] * steer, axis=-1)
+        if prof["los_db"] is not None:
+            # deterministic unspread specular ray at tap 0's center DoA
+            spec = (jnp.sqrt(los_pow).astype(dtype)
+                    * jnp.exp(1j * wavenum * delta * jnp.sin(doa[0])))
+            tap_gain = tap_gain.at[:, 0].add(spec)
     phase = jnp.exp(-2j * jnp.pi * freqs[None, :, None] * delays[None, None, :])
-    h = jnp.sum(tap_gain[:, None, :] * phase, axis=-1)             # [n_ant, n_fft]
+    h = jnp.sum(tap_gain[:, None, :] * phase, axis=-1)     # [n_ant, n_fft]
 
     if not skip_attenuation:
         d = _distances(tx_pos, rx_pos)

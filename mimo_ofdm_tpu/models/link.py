@@ -106,7 +106,10 @@ def make_channel_fn(cfg: LinkConfig, freqs: Array, rx_base: Array,
         if model == "tdl_3gpp":
             return channels.tdl_channel(k_fade, tx_pos, rx_position(k_loc), freqs,
                                         cfg.channel.tdl_profile,
-                                        skip_attenuation=skip_att, dtype=dtype)
+                                        skip_attenuation=skip_att,
+                                        n_subpaths=cfg.channel.tdl_subpaths,
+                                        asd_deg=cfg.channel.tdl_asd_deg,
+                                        dtype=dtype)
         raise ValueError(f"unknown channel model {model!r}")
 
     return channel_fn
@@ -114,7 +117,8 @@ def make_channel_fn(cfg: LinkConfig, freqs: Array, rx_base: Array,
 
 def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
                   reroll: bool = True, dtype=jnp.complex64,
-                  ant_axis_name: str | None = None):
+                  ant_axis_name: str | None = None,
+                  ibo_as_arg: bool = False):
     """Build the per-frame simulator
     ``frame_fn(key, snr_db, tx_pos) -> FrameCounters``.
 
@@ -127,6 +131,13 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
     ``[n_ant/tp, 3]`` shard when ``ant_axis_name`` names an antenna mesh
     axis inside ``shard_map``; every antenna-axis reduction then rides a
     ``psum`` over ICI (SURVEY.md section 2.3 P2).
+
+    With ``ibo_as_arg=True`` the signature gains a trailing traced
+    ``ibo_db`` scalar (``frame_fn(key, snr_db, tx_pos, ibo_db)``) so IBO
+    sweeps (``ber_vs_ibo``, the fixed-BER grids) reuse ONE compiled
+    executable across all IBO points instead of recompiling per value —
+    every IBO-dependent quantity (saturation power, Bussgang alpha/erfc,
+    AGC scalers) is already computed with jnp ops.
     """
     if (cfg.channel_storage != "complex64" and ant_axis_name is None
             and dtype == jnp.complex64):
@@ -136,12 +147,11 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
             # Monte-Carlo noise; see models/link_planar.py)
             return link_planar.make_planar_frame_fn(
                 cfg, n_iters, incl_clean=incl_clean, reroll=reroll,
-                storage=cfg.channel_storage)
+                storage=cfg.channel_storage, ibo_as_arg=ibo_as_arg)
     m = cfg.modem.constel_size
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
     n_ant = cfg.array.n_elements   # global count (alpha/IBO formulas use it)
     n_bits = cfg.modem.n_bits_per_ofdm_sym
-    ibo_db = cfg.pa.ibo_db
     avg_sym_pow = cfg.modem.avg_symbol_power
     avg_samp_pow = cfg.modem.avg_sample_power
     pa_model = cfg.pa.model
@@ -158,7 +168,8 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
     precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users,
                                        ant_axis_name, n_ant)
 
-    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> FrameCounters:
+    def _frame(key: Array, snr_db: Array, tx_pos: Array,
+               ibo_db) -> FrameCounters:
         k_chan, k_csi, k_bits_c, k_bits_d, k_noise_c, k_noise_d = \
             jax.random.split(key, 6)
 
@@ -213,7 +224,7 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
 
         # --- clean run (reference/mp_model.py:136-175) ---
         if incl_clean:
-            bits_c = jax.random.bernoulli(k_bits_c, 0.5, (n_bits,)).astype(jnp.int8)
+            bits_c = bits_ops.random_payload_bits(k_bits_c, n_bits)
             # Without PA distortion the TX (I)FFT round trip is an identity
             # and propagation commutes with the per-subcarrier symbol
             # multiply: sum_ant h (v s) = s * sum_ant(h v). The combined
@@ -238,7 +249,7 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
             clean_err = jnp.zeros((), jnp.int32)
 
         # --- distorted run (reference/mp_model.py:180-222) ---
-        bits_d = jax.random.bernoulli(k_bits_d, 0.5, (n_bits,)).astype(jnp.int8)
+        bits_d = bits_ops.random_payload_bits(k_bits_d, n_bits)
         sym_d = transmit.modulate_users(bits_d, m, dtype)
         per_ant_sc = transmit.precode_symbols(sym_d, v)
         fd_dist_sc = transmit.ifft_pa_fft_sc(
@@ -276,20 +287,40 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
         dist_err = bits_ops.count_bit_errors(bits_d, bits_all, axis=-1)
         return FrameCounters(clean_err=clean_err, dist_err=dist_err)
 
+    if ibo_as_arg:
+        return _frame
+
+    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> FrameCounters:
+        return _frame(key, snr_db, tx_pos, cfg.pa.ibo_db)
+
     return frame_fn
 
 
 def make_round_fn(cfg: LinkConfig, n_iters: int, batch: int, *,
                   incl_clean: bool = True, reroll: bool = True,
-                  dtype=jnp.complex64):
+                  ibo_as_arg: bool = False, dtype=jnp.complex64):
     """Jitted Monte-Carlo round: ``round_fn(key, snr_db) -> FrameCounters``
     summed over a ``batch`` of independent frames (vmapped). This is the
     unit of work the host stop-criterion loop schedules — the batched
     replacement for the reference's per-frame shared-counter polling
-    (``reference/mp_model.py:137,181``)."""
+    (``reference/mp_model.py:137,181``). With ``ibo_as_arg=True`` the
+    round is ``round_fn(key, snr_db, ibo_db)`` with a traced IBO — one
+    compile for a whole IBO sweep (see :func:`make_frame_fn`)."""
     frame_fn = make_frame_fn(cfg, n_iters, incl_clean=incl_clean,
-                             reroll=reroll, dtype=dtype)
+                             reroll=reroll, dtype=dtype,
+                             ibo_as_arg=ibo_as_arg)
     tx_pos = link_static(cfg, dtype)[0]
+
+    if ibo_as_arg:
+        @jax.jit
+        def round_fn_ibo(key: Array, snr_db: Array, ibo_db: Array) -> FrameCounters:
+            keys = jax.random.split(key, batch)
+            counters = jax.vmap(frame_fn, in_axes=(0, None, None, None))(
+                keys, snr_db, tx_pos, ibo_db)
+            return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
+                                counters)
+
+        return round_fn_ibo
 
     @jax.jit
     def round_fn(key: Array, snr_db: Array) -> FrameCounters:

@@ -182,6 +182,7 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
                             ldpc_algorithm: str = "minsum",
                             incl_clean: bool = True, reroll: bool = True,
                             return_llrs: bool = False,
+                            nv_adjust: bool = False,
                             dtype=jnp.complex64):
     """Coded frame with the full transport chain — CRC24A attach, code-block
     segmentation (+CRC24B), QC-LDPC encode per block and circular-buffer
@@ -218,8 +219,26 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
         nv = 2.0 * avg_sym_pow / (10.0 ** (snr_db / 10.0))
         return -qam.soft_llr(sym, m, nv)
 
-    def decode_count(sym, payload, snr_db):
-        rx, ok = tp.transport_decode(chain, decoder_llr(sym, snr_db),
+    def decoder_llr_nvadj(sym, snr_db):
+        """Noise-variance-**adjusted** demapper LLRs — the ``nvadj_ldpc``
+        result variant (committed
+        ``figs/csv_results/nvadj_ldpc_3_4_ber_vs_ebn0_{cnc,mcnc}_quadriga_*``;
+        generator script lost). Instead of the fixed thermal
+        ``2 * avg_sym_pow / snr_lin`` (``mp_ldpc_model.py:121``), the
+        demapper variance is the *measured* per-tap error power
+        ``mean |sym - harddet(sym)|^2`` over the frame's data subcarriers
+        — a data-aided estimate of thermal noise **plus the residual
+        (uncancelled) PA distortion** at that CNC tap, floored by the
+        thermal term so deep-cliff taps never under-weight the noise."""
+        det, _ = qam.detect_symbols_and_bits(sym, m, dtype=sym.dtype)
+        measured = jnp.mean(jnp.abs(sym - det) ** 2)
+        nv_thermal = 2.0 * avg_sym_pow / (10.0 ** (snr_db / 10.0))
+        return -qam.soft_llr(sym, m, jnp.maximum(measured, nv_thermal))
+
+    def decode_count(sym, payload, snr_db, adjust=False):
+        llr = (decoder_llr_nvadj(sym, snr_db) if adjust
+               else decoder_llr(sym, snr_db))
+        rx, ok = tp.transport_decode(chain, llr,
                                      n_iters=ldpc_iters,
                                      algorithm=ldpc_algorithm)
         bit_err = bits_ops.count_bit_errors(payload, rx)
@@ -280,21 +299,166 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
         corr_all = receivers.cnc_iterate_soft(rx_sc, n_iters, m, replica)
 
         if return_llrs:
-            tap_llrs = jax.vmap(lambda sym: decoder_llr(sym, snr_db))(corr_all)
+            tap_fn = decoder_llr_nvadj if nv_adjust else decoder_llr
+            tap_llrs = jax.vmap(lambda sym: tap_fn(sym, snr_db))(corr_all)
             return pay_c, clean_llr, pay_d, tap_llrs
         dist_err, dist_blk = jax.lax.map(
-            lambda sym: decode_count(sym, pay_d, snr_db), corr_all)
+            lambda sym: decode_count(sym, pay_d, snr_db, adjust=nv_adjust),
+            corr_all)
         return TransportFrameCounters(clean_err=clean_err, clean_blk=clean_blk,
                                       dist_err=dist_err, dist_blk=dist_blk)
 
     return frame_fn
 
 
+def make_transport_inloop_frame_fn(cfg: LinkConfig, n_iters: int, chain,
+                                   ldpc_iters: int = 25, *,
+                                   ldpc_algorithm: str = "sumprod",
+                                   incl_clean: bool = True,
+                                   reroll: bool = True,
+                                   dtype=jnp.complex64):
+    """LDPC-**in-the-loop** CNC/MCNC receiver frame.
+
+    The plain coded receiver (:func:`make_transport_frame_fn`) runs the
+    CNC loop on *hard-detected symbols* (``reference/corrector.py:78``)
+    and only decodes the per-iteration taps afterwards
+    (``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:232-252``). This
+    variant instead decodes **inside** every cancellation iteration:
+
+        corrected -> soft demap -> LDPC decode -> re-encode the decoded
+        payload -> re-modulate -> feed the replica
+
+    so the replica input is the decoder's (usually error-free above the
+    cliff, decoder-biased below it) codeword instead of raw hard
+    decisions. This is the protocol behind the reference's committed
+    ``figs/csv_results/ldpc_in_loop_ber_vs_ebn0_{cnc,mcnc}_los_nant16_*``
+    results, whose generator script no longer survives; the CSV shape
+    (clean + ite0 + niter 1..3 rows, byte-identical clean/ite0 rows to the
+    legacy ``ldpc_ber_vs_ebn0_*`` family) pins the row semantics, and the
+    iteration skeleton is ``reference/corrector.py:52-112`` with the
+    detection step replaced by the decode/re-encode round trip.
+
+    Counter layout: ``dist_err[0]`` = standard decode (no cancellation),
+    ``dist_err[i]`` = decode after ``i`` in-loop iterations.
+    """
+    from mimo_ofdm_tpu.ops import transport as tp
+
+    m = cfg.modem.constel_size
+    n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
+    n_ant = cfg.array.n_elements
+    ibo_db = cfg.pa.ibo_db
+    avg_sym_pow = cfg.modem.avg_symbol_power
+    avg_samp_pow = cfg.modem.avg_sample_power
+    pa_model = cfg.pa.model
+    assert chain.e_total == cfg.modem.n_bits_per_ofdm_sym
+
+    _, freqs, rx_base = link_static(cfg, dtype)
+    freqs_sc = ofdm.extract_subcarriers(freqs, n_sc)
+    channel_fn = make_channel_fn(cfg, freqs_sc, rx_base, reroll, dtype)
+    precoder = precoding.make_precoder(cfg.precoding, cfg.modem.n_users)
+
+    def decoder_llr(sym, snr_db):
+        nv = 2.0 * avg_sym_pow / (10.0 ** (snr_db / 10.0))
+        return -qam.soft_llr(sym, m, nv)
+
+    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> TransportFrameCounters:
+        k_chan, k_info_c, k_info_d, k_noise_c, k_noise_d = jax.random.split(key, 5)
+
+        h_sc = channel_fn(k_chan, tx_pos)
+        v = precoder(h_sc)
+        sat_pow = precoding.pa_sat_power(ibo_db, avg_samp_pow, v)
+        agc = agc_mod.compute_agc_sc(h_sc, v, ibo_db, n_ant)
+
+        if incl_clean:
+            pay_c = bits_ops.random_payload_bits(k_info_c, chain.a)
+            coded_c = tp.transport_encode(chain, pay_c)
+            sym_c = qam.modulate_bits(coded_c, m, dtype)
+            tx_sc = transmit.precode_symbols(sym_c, v)
+            rx = channels.propagate(h_sc, tx_sc)
+            rx = noise_ops.awgn(k_noise_c, rx, snr_db,
+                                avg_sym_pow * agc.hk_vk_noise_scaler)
+            rx = rx / agc.hk_vk_agc_sc
+            hat_c, ok_c = tp.transport_decode(chain, decoder_llr(rx, snr_db),
+                                              n_iters=ldpc_iters,
+                                              algorithm=ldpc_algorithm)
+            clean_err = bits_ops.count_bit_errors(pay_c, hat_c)
+            clean_blk = (~ok_c).astype(jnp.int32)
+        else:
+            clean_err = jnp.zeros((), jnp.int32)
+            clean_blk = jnp.zeros((), jnp.int32)
+
+        pay_d = bits_ops.random_payload_bits(k_info_d, chain.a)
+        coded_d = tp.transport_encode(chain, pay_d)
+        fd_dist_sc = transmit.array_transmit_sc(
+            coded_d, constel_size=m, n_fft=n_fft, v=v, pa_model=pa_model,
+            sat_power=sat_pow, rapp_p=cfg.pa.rapp_p_hardness,
+            use_mxu_fft=cfg.use_mxu_fft,
+            mxu_storage=cfg.mxu_fft_storage, dtype=dtype)
+        rx_d = channels.propagate(h_sc, fd_dist_sc)
+        rx_d = noise_ops.awgn(k_noise_d, rx_d, snr_db,
+                              avg_sym_pow * agc.ak_hk_vk_noise_scaler)
+        rx_sc = rx_d / agc.ak_hk_vk_agc_sc
+
+        if cfg.rx.algorithm == "mcnc":
+            replica = receivers.make_mcnc_replica(
+                h_sc, v, agc.ak_hk_vk_agc_sc, constel_size=m, n_fft=n_fft,
+                n_sc=n_sc, pa_model=pa_model, sat_power=sat_pow,
+                rapp_p=cfg.pa.rapp_p_hardness, use_mxu_fft=cfg.use_mxu_fft,
+                mxu_storage=cfg.mxu_fft_storage)
+        else:
+            replica = receivers.make_cnc_replica(
+                m, n_fft, n_sc, ibo_db, pa_model,
+                use_mxu_fft=cfg.use_mxu_fft, mxu_storage=cfg.mxu_fft_storage)
+
+        def body(d_est, _):
+            corr = rx_sc - d_est
+            pay_hat, ok = tp.transport_decode(chain, decoder_llr(corr, snr_db),
+                                              n_iters=ldpc_iters,
+                                              algorithm=ldpc_algorithm)
+            bit_err = bits_ops.count_bit_errors(pay_d, pay_hat)
+            blk_err = (~ok).astype(jnp.int32)
+            resym = qam.modulate_bits(tp.transport_encode(chain, pay_hat),
+                                      m, dtype)
+            est = replica(resym)
+            return est - resym, (bit_err, blk_err)
+
+        _, (dist_err, dist_blk) = jax.lax.scan(
+            body, jnp.zeros_like(rx_sc), None, length=n_iters + 1)
+        return TransportFrameCounters(clean_err=clean_err, clean_blk=clean_blk,
+                                      dist_err=dist_err, dist_blk=dist_blk)
+
+    return frame_fn
+
+
+def make_transport_inloop_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
+                                   chain, ldpc_iters: int = 25, *,
+                                   ldpc_algorithm: str = "sumprod",
+                                   incl_clean: bool = True,
+                                   reroll: bool = True,
+                                   dtype=jnp.complex64):
+    """Jitted LDPC-in-the-loop Monte-Carlo round summed over ``batch``
+    frames (see :func:`make_transport_inloop_frame_fn`)."""
+    frame_fn = make_transport_inloop_frame_fn(
+        cfg, n_iters, chain, ldpc_iters, ldpc_algorithm=ldpc_algorithm,
+        incl_clean=incl_clean, reroll=reroll, dtype=dtype)
+    tx_pos = link_static(cfg, dtype)[0]
+
+    @jax.jit
+    def round_fn(key: Array, snr_db: Array) -> TransportFrameCounters:
+        keys = jax.random.split(key, batch)
+        counters = jax.vmap(frame_fn, in_axes=(0, None, None))(keys, snr_db,
+                                                               tx_pos)
+        return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
+                            counters)
+
+    return round_fn
+
+
 def make_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
                             chain, ldpc_iters: int = 25, *,
                             ldpc_algorithm: str = "minsum",
                             incl_clean: bool = True, reroll: bool = True,
-                            serial_decode: int = 0,
+                            serial_decode: int = 0, nv_adjust: bool = False,
                             dtype=jnp.complex64):
     """Jitted transport-coded Monte-Carlo round summed over ``batch``
     frames.
@@ -314,6 +478,7 @@ def make_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
                                        ldpc_algorithm=ldpc_algorithm,
                                        incl_clean=incl_clean, reroll=reroll,
                                        return_llrs=serial_decode,
+                                       nv_adjust=nv_adjust,
                                        dtype=dtype)
     tx_pos = link_static(cfg, dtype)[0]
 

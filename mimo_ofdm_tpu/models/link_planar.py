@@ -25,7 +25,7 @@ the reference sweeps; per-frame error counters agree with the complex64
 path within Monte-Carlo noise (tests/test_link_planar.py).
 
 Scope: the path covers the configurations whose statistics it has been
-equivalence-tested on — single-user MRT with LOS or Rayleigh channels,
+equivalence-tested on — single-user MRT with LOS, two-path or Rayleigh channels,
 perfect CSI, any memoryless PA, CNC/MCNC/none receivers (the MCNC replica
 reuses the planar TX+propagate chain per iteration), MXU-eligible shapes,
 no antenna-axis sharding. :func:`mimo_ofdm_tpu.models.link.make_frame_fn`
@@ -60,10 +60,58 @@ def planar_eligible(cfg: LinkConfig) -> bool:
             and not cfg.csi_epsilon
             and cfg.csi_snr_db is None
             and cfg.precoding == "mrt"
-            and cfg.channel.model in ("rayleigh", "los")
+            and cfg.channel.model in ("rayleigh", "los", "two_path")
             and cfg.rx.algorithm in ("cnc", "mcnc", "none")
             and cfg.use_mxu_fft
             and mxu_fft.sc_prune_eligible(cfg.modem.n_fft, cfg.modem.n_sub_carr))
+
+
+def _factored_cos_sin(w: Array, center_freq: float, df: float, n_sc: int):
+    """``cos/sin(w[:,None] * freqs_sc)`` on the data-subcarrier grid with
+    O(n_ant * (Q + R)) transcendentals instead of O(n_ant * n_sc).
+
+    The SC grid is ``f_k = fc + df*k`` for integer ``k`` in
+    ``[-n_sc/2..-1, 1..n_sc/2]`` (``reference/modulation.py:264-267``
+    layout after ``ofdm.extract_subcarriers``). Factor the contiguous part
+    ``k = R*q + r - n_sc/2`` (``q in [0..Q)``, ``r in [0..R)``) so the
+    phase splits as ``theta = A[a,q] + B[a,r]`` and the big planes become
+    angle-addition products of two small cos/sin tables — one broadcast
+    multiply-add pass over ``[n_ant, Q, R]`` instead of 2*n_ant*n_sc
+    ``sin``/``cos`` evaluations (the measured hot spot of the geometric
+    per-frame reroll, docs/PERF.md "LOS is the slow channel"). The
+    straggler bin ``k = +n_sc/2`` is computed directly and the DC column
+    of the contiguous block is dropped in the final reorder.
+
+    Rounding: the split A+B argument carries the same f32
+    magnitude-representation error (~ulp(2e4 rad)) as the direct product
+    ``w*f`` that both the complex64 path and the previous planar path
+    compute, so agreement with the complex path stays at the same few-
+    detector-flip level (tests/test_link_planar.py).
+    """
+    n_ant = w.shape[0]
+    half = n_sc // 2
+    R = 64
+    if n_sc % R or n_sc < 2 * R:
+        theta_neg = w[:, None] * (center_freq
+                                  + df * jnp.arange(-half, 0, dtype=jnp.float32))
+        theta_pos = w[:, None] * (center_freq
+                                  + df * jnp.arange(1, half + 1, dtype=jnp.float32))
+        theta = jnp.concatenate([theta_neg, theta_pos], axis=-1)
+        return jnp.cos(theta), jnp.sin(theta)
+    q_grid = df * (R * jnp.arange(n_sc // R, dtype=jnp.float32) - half)
+    th_a = w[:, None] * (center_freq + q_grid)                 # [n_ant, Q]
+    th_b = (w * df)[:, None] * jnp.arange(R, dtype=jnp.float32)  # [n_ant, R]
+    th_x = w * (center_freq + df * half)                       # [n_ant]
+    ca, sa = jnp.cos(th_a)[:, :, None], jnp.sin(th_a)[:, :, None]
+    cb, sb = jnp.cos(th_b)[:, None, :], jnp.sin(th_b)[:, None, :]
+    cos_c = (ca * cb - sa * sb).reshape(n_ant, n_sc)
+    sin_c = (sa * cb + ca * sb).reshape(n_ant, n_sc)
+    # contiguous k order -> SC layout [k=-half..-1 | k=1..half-1 | k=half]
+    cos_sc = jnp.concatenate([cos_c[:, :half], cos_c[:, half + 1:],
+                              jnp.cos(th_x)[:, None]], axis=-1)
+    sin_sc = jnp.concatenate([sin_c[:, :half], sin_c[:, half + 1:],
+                              jnp.sin(th_x)[:, None]], axis=-1)
+    return cos_sc, sin_sc
 
 
 def _channel_planes_fn(cfg: LinkConfig, freqs_sc: Array, rx_base: Array,
@@ -79,6 +127,8 @@ def _channel_planes_fn(cfg: LinkConfig, freqs_sc: Array, rx_base: Array,
     model = cfg.channel.model
     skip_att = cfg.channel.skip_attenuation
     inv_freqs = 1.0 / freqs_sc
+    fc, df = cfg.center_freq, cfg.carrier_spacing
+    n_sc = cfg.modem.n_sub_carr
 
     def rx_position(key):
         if not reroll:
@@ -86,6 +136,20 @@ def _channel_planes_fn(cfg: LinkConfig, freqs_sc: Array, rx_base: Array,
         off = jax.random.uniform(key, (2,), minval=-cfg.rx.loc_var / 2.0,
                                  maxval=cfg.rx.loc_var / 2.0)
         return rx_base + jnp.concatenate([off, jnp.zeros(1)])
+
+    def path_planes(d):
+        """Factored-phase cos/sin planes x free-space attenuation for one
+        geometric path at per-antenna distances ``d`` (the phase/att math
+        of ``reference/channel.py:61-67``). The attenuation
+        ``c/(4 pi d f)`` splits as ``(c/(4 pi d)) * (1/f)``: the static
+        1/f row hoists out of the frame batch and the per-element divide
+        becomes a multiply (measured 1.24x on the plane microbench)."""
+        cos_sc, sin_sc = _factored_cos_sin((2.0 * jnp.pi / C_LIGHT) * d,
+                                           fc, df, n_sc)
+        if skip_att:
+            return cos_sc, sin_sc
+        att = ((C_LIGHT / (4.0 * jnp.pi)) / d[:, None]) * inv_freqs
+        return cos_sc * att, sin_sc * att
 
     def planes(key, tx_pos):
         k_loc, k_fade = jax.random.split(key)
@@ -105,18 +169,23 @@ def _channel_planes_fn(cfg: LinkConfig, freqs_sc: Array, rx_base: Array,
             return nr * scale, ni * scale
         if model == "los":
             d = channels._distances(tx_pos, rx_position(k_loc))
-            theta = (2.0 * jnp.pi / C_LIGHT) * d[:, None] * freqs_sc
-            if skip_att:
-                att = jnp.ones((), jnp.float32)
-            else:
-                # c/(4 pi d f) as (c/(4 pi d)) * (1/f): the static 1/f row
-                # hoists out of the frame batch and the per-element divide
-                # becomes a multiply — measured 1.24x on the plane
-                # microbench (same math as channels._fs_attenuation up to
-                # rounding order; planes are bf16/f32 storage anyway)
-                att = ((C_LIGHT / (4.0 * jnp.pi)) / d[:, None]) * inv_freqs
-            return ((jnp.cos(theta) * att).astype(st),
-                    (jnp.sin(theta) * att).astype(st))
+            hr, hi = path_planes(d)
+            return hr.astype(st), hi.astype(st)
+        if model == "two_path":
+            # LOS + ground reflection with coefficient -1
+            # (``reference/channel.py:116-167``): same per-path phase/att
+            # math at the LOS and mirror-image distances
+            rx_pos = rx_position(k_loc)
+            d_los = channels._distances(tx_pos, rx_pos)
+            tz = tx_pos[:, 2]
+            rz = rx_pos[2]
+            horiz = jnp.sqrt((tx_pos[:, 0] - rx_pos[0]) ** 2
+                             + (tx_pos[:, 1] - rx_pos[1]) ** 2)
+            sin_elev = jnp.sin(jnp.arctan((tz + rz) / horiz))
+            d_sec = tz / sin_elev + rz / sin_elev
+            lr, li = path_planes(d_los)
+            sr, si = path_planes(d_sec)
+            return (lr - sr).astype(st), (li - si).astype(st)
         raise ValueError(f"planar path does not cover channel {model!r}")
 
     return planes
@@ -124,11 +193,13 @@ def _channel_planes_fn(cfg: LinkConfig, freqs_sc: Array, rx_base: Array,
 
 def make_planar_frame_fn(cfg: LinkConfig, n_iters: int, *,
                          incl_clean: bool = True, reroll: bool = True,
-                         storage: str = "bfloat16"):
+                         storage: str = "bfloat16", ibo_as_arg: bool = False):
     """Planar-storage twin of :func:`mimo_ofdm_tpu.models.link.make_frame_fn`
     (same signature, same :class:`FrameCounters` result). ``storage`` is
     the plane dtype: ``"bfloat16"`` (the point of this path) or
-    ``"float32"`` (validation: matches the complex path to f32 rounding)."""
+    ``"float32"`` (validation: matches the complex path to f32 rounding).
+    ``ibo_as_arg=True`` appends a traced ``ibo_db`` argument (see
+    :func:`mimo_ofdm_tpu.models.link.make_frame_fn`)."""
     from mimo_ofdm_tpu.models.link import FrameCounters, link_static
 
     assert planar_eligible(cfg), cfg
@@ -140,7 +211,6 @@ def make_planar_frame_fn(cfg: LinkConfig, n_iters: int, *,
     n_fft, n_sc = cfg.modem.n_fft, cfg.modem.n_sub_carr
     n_ant = cfg.array.n_elements
     n_bits = cfg.modem.n_bits_per_ofdm_sym
-    ibo_db = cfg.pa.ibo_db
     avg_sym_pow = cfg.modem.avg_symbol_power
     avg_samp_pow = cfg.modem.avg_sample_power
     pa_model = cfg.pa.model
@@ -158,7 +228,8 @@ def make_planar_frame_fn(cfg: LinkConfig, n_iters: int, *,
     def f32sum(x, axis):
         return jnp.sum(x, axis=axis, dtype=jnp.float32)
 
-    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> FrameCounters:
+    def _frame(key: Array, snr_db: Array, tx_pos: Array,
+               ibo_db) -> FrameCounters:
         # same 6-way role split as link.make_frame_fn (k_csi unused here —
         # perfect CSI is an eligibility condition) so the bit/noise/fade
         # streams are identical to the complex64 path's for the same key
@@ -202,7 +273,7 @@ def make_planar_frame_fn(cfg: LinkConfig, n_iters: int, *,
         # round-trip is an identity without the PA, so propagation reduces
         # to the combined H o V vector (see link.make_frame_fn) ---
         if incl_clean:
-            bits_c = jax.random.bernoulli(k_bits_c, 0.5, (n_bits,)).astype(jnp.int8)
+            bits_c = bits_ops.random_payload_bits(k_bits_c, n_bits)
             sym_c = transmit.modulate_users(bits_c, m)
             rx_c = sym_c * hv
             rx_c = noise_ops.awgn(k_noise_c, rx_c, snr_db,
@@ -235,7 +306,7 @@ def make_planar_frame_fn(cfg: LinkConfig, n_iters: int, *,
             rx_i = f32sum(hr * fi + hi * fr, axis=-2)
             return jax.lax.complex(rx_r, rx_i)
 
-        bits_d = jax.random.bernoulli(k_bits_d, 0.5, (n_bits,)).astype(jnp.int8)
+        bits_d = bits_ops.random_payload_bits(k_bits_d, n_bits)
         sym_d = transmit.modulate_users(bits_d, m)
         rx_d = noise_ops.awgn(k_noise_d, tx_propagate(sym_d), snr_db,
                               avg_sym_pow * akhv_noise_scaler)
@@ -257,5 +328,11 @@ def make_planar_frame_fn(cfg: LinkConfig, n_iters: int, *,
 
         dist_err = bits_ops.count_bit_errors(bits_d, bits_all, axis=-1)
         return FrameCounters(clean_err=clean_err, dist_err=dist_err)
+
+    if ibo_as_arg:
+        return _frame
+
+    def frame_fn(key: Array, snr_db: Array, tx_pos: Array) -> FrameCounters:
+        return _frame(key, snr_db, tx_pos, cfg.pa.ibo_db)
 
     return frame_fn

@@ -13,8 +13,30 @@ most significant bit (``reference/utilities.py:54-67``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
+
+
+def random_payload_bits(key: Array, shape: int | tuple[int, ...]) -> Array:
+    """IID Bernoulli(1/2) payload bits as int8, drawn as packed 32-bit
+    words and unpacked with shift/mask — 32x fewer threefry invocations
+    than a per-bit ``jax.random.bernoulli`` (which burns a full uniform
+    draw per bit). Replaces the reference's ``bit_rng.choice`` payload
+    draw (``reference/mp_model.py:156,190``); any fixed bit-extraction of
+    uniform words is itself an IID fair-bit stream, so the statistics are
+    identical (the stream differs for a given key, which only matters to
+    tests pinning exact streams — none do)."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    n_bits = 1
+    for s in shape:
+        n_bits *= s
+    n_words = (n_bits + 31) // 32
+    words = jax.random.bits(key, (n_words,), jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    b = (words[:, None] >> shifts[None, :]) & jnp.uint32(1)
+    return b.reshape(-1)[:n_bits].astype(jnp.int8).reshape(shape)
 
 
 def bits_to_ints(bits: Array, bits_per_word: int) -> Array:

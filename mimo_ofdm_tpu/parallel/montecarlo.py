@@ -119,6 +119,73 @@ def run_point(round_fn, key, snr_db: float, *, n_counters: int,
                        wall_time_s=time.perf_counter() - t0)
 
 
+def run_sweep_pipelined(round_fn, key, snr_db_values, *, n_counters: int,
+                        n_bits_per_frame: int, batch: int, n_err_min: int,
+                        bits_sent_max: int, max_rounds: int = 100_000,
+                        pipeline_depth: int = 3) -> list[PointResult]:
+    """Sequence of :func:`run_point`-equivalent sweep points with the
+    device pipeline kept full ACROSS points.
+
+    :func:`run_point` drains its in-flight rounds when a point finishes,
+    so between sweep points the device idles for ~``depth`` host fetches
+    (tunnel round-trips) plus the next point's pipeline refill. Here the
+    scheduler launches point ``k+1``'s first rounds while point ``k``'s
+    tail results are still being fetched, removing those bubbles — the
+    round-3 ROADMAP "cross-point pipelining" item.
+
+    Key derivation, per-point masks, and the depth-1 cooperative
+    stop-staleness are identical to ``run_point(fold_in(key, i), ...)``
+    per point, so the accumulated counters are reproducible and unbiased
+    (each round's contribution mask is fixed at launch). ``snr_db`` is a
+    traced scalar of ``round_fn``, so no recompilation occurs across
+    points. Per-point ``wall_time_s`` spans first-launch to last-fetch
+    and may overlap between adjacent points.
+    """
+    from collections import deque
+
+    n_pts = len(snr_db_values)
+    n_err = [np.zeros(n_counters, np.int64) for _ in range(n_pts)]
+    n_bits = [np.zeros(n_counters, np.int64) for _ in range(n_pts)]
+    launched = np.zeros(n_pts, np.int64)
+    t_start = [None] * n_pts
+    t_end = [0.0] * n_pts
+    in_flight: deque = deque()
+    launch_idx = 0
+
+    def active_mask(i):
+        return (n_err[i] < n_err_min) & (n_bits[i] < bits_sent_max)
+
+    while True:
+        while launch_idx < n_pts and (launched[launch_idx] >= max_rounds
+                                      or not active_mask(launch_idx).any()):
+            launch_idx += 1
+        while len(in_flight) < pipeline_depth and launch_idx < n_pts:
+            i = launch_idx
+            if t_start[i] is None:
+                t_start[i] = time.perf_counter()
+            rkey = jax.random.fold_in(jax.random.fold_in(key, i),
+                                      int(launched[i]))
+            in_flight.append((i, round_fn(rkey, float(snr_db_values[i])),
+                              active_mask(i)))
+            launched[i] += 1
+            if launched[i] >= max_rounds:
+                launch_idx += 1
+        if not in_flight:
+            break
+        i, counters, mask = in_flight.popleft()
+        # np.asarray is the real sync point (block_until_ready is a no-op
+        # on some transports)
+        errs = np.concatenate([np.atleast_1d(np.asarray(counters.clean_err)),
+                               np.asarray(counters.dist_err)]).astype(np.int64)
+        n_err[i] += np.where(mask, errs, 0)
+        n_bits[i] += np.where(mask, batch * n_bits_per_frame, 0)
+        t_end[i] = time.perf_counter()
+    return [PointResult(n_err=n_err[i], n_bits=n_bits[i],
+                        n_rounds=int(launched[i]),
+                        wall_time_s=t_end[i] - (t_start[i] or t_end[i]))
+            for i in range(n_pts)]
+
+
 def run_ber_sweep(cfg: LinkConfig, sweep: SweepConfig, n_iters: int,
                   seed: int = 0, snr_db_values: np.ndarray | None = None,
                   round_fn=None, verbose: bool = False) -> SweepResult:
@@ -144,14 +211,13 @@ def run_ber_sweep(cfg: LinkConfig, sweep: SweepConfig, n_iters: int,
     n_counters = 1 + n_iters + 1
     result = SweepResult(param_values=ebn0)
     key = jax.random.key(seed)
-    for i, snr in enumerate(snr_db_values):
-        pkey = jax.random.fold_in(key, i)
-        pt = run_point(round_fn, pkey, float(snr), n_counters=n_counters,
-                       n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
-                       batch=sweep.batch_frames, n_err_min=sweep.n_err_min,
-                       bits_sent_max=sweep.bits_sent_max)
-        result.points.append(pt)
-        if verbose:
+    result.points = run_sweep_pipelined(
+        round_fn, key, snr_db_values, n_counters=n_counters,
+        n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+        batch=sweep.batch_frames, n_err_min=sweep.n_err_min,
+        bits_sent_max=sweep.bits_sent_max)
+    if verbose:
+        for i, pt in enumerate(result.points):
             print(f"Eb/N0={ebn0[i]:5.1f} dB  rounds={pt.n_rounds:5d}  "
                   f"BER={np.array2string(pt.ber, precision=3)}")
     return result

@@ -77,6 +77,14 @@ class ChannelConfig:
     # exact TR 38.901 profiles tdl_a..tdl_e, plus the reference's Quadriga
     # scenario aliases uma_los (->tdl_d) / umi_nlos (->tdl_a) / uma_nlos (->tdl_c)
     tdl_profile: str = "uma_los"
+    # CDL-style intra-cluster subpaths: each tap is a sum of n rays whose
+    # departure angles spread around the tap DoA with the per-cluster ASD
+    # (TR 38.901 section 7.5 step 7 ray offsets). n=1 reproduces the
+    # rank-1-per-tap model of rounds 2-3; n=20 (the 38.901 ray count)
+    # decorrelates the tap across the array, which the committed Quadriga
+    # deep-CNC-iteration curves require (docs/CURVE_REPRODUCTION.md).
+    tdl_subpaths: int = 20
+    tdl_asd_deg: float = 5.0      # per-cluster azimuth spread of departure
     rician_k_db: float = 9.0      # K-factor for model="rician"
 
 

@@ -49,3 +49,397 @@ def replot_ber_vs_ebn0(kind: str, rx_name: str, chan_name: str, n_ant: int,
     if show:
         plt.show()
     return fig, ax
+
+
+def _iter_series(ax, x, rows, iter_vals, sel_iters, linestyle="-"):
+    """Plot one curve per selected iteration count with the reference's
+    per-iteration color indexing (``reference/final_plots/ber_vs_ibo.py:
+    57-69``: color index starts at 1 and advances per selected curve)."""
+    color_idx = 1
+    for ri, it in enumerate(iter_vals):
+        if sel_iters is not None and it not in sel_iters:
+            continue
+        ax.plot(x, rows[ri], linestyle,
+                color=CB_COLOR_CYCLE[color_idx % len(CB_COLOR_CYCLE)])
+        color_idx += 1
+
+
+def _cnc_mcnc_legend(ax, sel_iters, has_mcnc):
+    """The reference's two-part legend: color patches for the iteration
+    counts + black line styles for CNC (solid) vs MCNC (dashed)
+    (``reference/final_plots/ber_vs_ibo.py:70-96``)."""
+    import matplotlib.lines as mlines
+    import matplotlib.patches as mpatches
+
+    patches = [mpatches.Patch(color=CB_COLOR_CYCLE[(1 + i) % len(CB_COLOR_CYCLE)],
+                              label=str(v))
+               for i, v in enumerate(sel_iters)]
+    leg1 = ax.legend(handles=patches, title="I iterations:",
+                     loc="upper right", ncol=1, framealpha=0.9)
+    ax.add_artist(leg1)
+    if has_mcnc:
+        lines = [mlines.Line2D([0], [0], linestyle="-", color="k", label="CNC"),
+                 mlines.Line2D([0], [0], linestyle="--", color="k", label="MCNC")]
+        ax.legend(handles=lines, loc="lower left", framealpha=0.9)
+
+
+def replot_ber_vs_ibo(chan_name: str, n_ant: int, ebn0_db: float, ibo_arr,
+                      cnc_iter_lst=tuple(range(9)), sel_iters=(0, 1, 2, 5, 8),
+                      include_mcnc: bool = True, results_dir=None,
+                      save_path=None, show: bool = False):
+    """BER vs IBO at fixed Eb/N0, CNC solid / MCNC dashed per iteration
+    count (``reference/final_plots/ber_vs_ibo.py``). Our CSV layout:
+    row 0 = IBO, rows 1.. = iterations 0..n."""
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    fig, ax = plt.subplots()
+    ax.set_yscale("log", base=10)
+    arms = [("cnc", "-")] + ([("mcnc", "--")] if include_mcnc else [])
+    for alg, style in arms:
+        fname = results.ber_vs_ibo_filename(alg, chan_name, n_ant, ebn0_db,
+                                            np.asarray(ibo_arr),
+                                            [v for v in cnc_iter_lst if v])
+        rows = results.read_from_csv(fname, **kw)
+        _iter_series(ax, rows[0], rows[1:], list(cnc_iter_lst), sel_iters,
+                     style)
+    ax.set_xlabel("IBO [dB]")
+    ax.set_ylabel("BER")
+    ax.grid(True)
+    _cnc_mcnc_legend(ax, sel_iters, include_mcnc)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_fixed_ber_req_ebn0_vs_ibo(chan_name: str, n_ant: int, ebn0_arr,
+                                     ibo_arr, target_ber: float = 1e-2,
+                                     cnc_iter_lst=tuple(range(9)),
+                                     sel_iters=(0, 1, 2, 5, 8),
+                                     include_mcnc: bool = True,
+                                     results_dir=None, save_path=None,
+                                     show: bool = False):
+    """Required Eb/N0 for a target BER vs IBO, interpolated from the saved
+    raw (IBO x Eb/N0) BER grid exactly like
+    ``reference/final_plots/fixed_ber_ebno_vs_ibo.py`` (CNC solid, MCNC
+    dashed)."""
+    import matplotlib.pyplot as plt
+
+    from mimo_ofdm_tpu.experiments.ber_sweeps import interp_req_ebn0
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    ebn0_arr = np.asarray(ebn0_arr, float)
+    fig, ax = plt.subplots()
+    arms = [("cnc", "-")] + ([("mcnc", "--")] if include_mcnc else [])
+    for alg, style in arms:
+        fname = results.fixed_ber_filename(target_ber, alg, chan_name, n_ant,
+                                           ebn0_arr, np.asarray(ibo_arr),
+                                           [v for v in cnc_iter_lst if v])
+        rows = results.read_from_csv(fname, **kw)
+        ibo = rows[0]
+        n_ebn0 = len(ebn0_arr)
+        grid = np.stack([np.stack(rows[1 + j * n_ebn0: 1 + (j + 1) * n_ebn0])
+                         for j in range(len(ibo))])
+        req = interp_req_ebn0(grid, ebn0_arr, target_ber)
+        _iter_series(ax, ibo, req, list(cnc_iter_lst), sel_iters, style)
+    ax.set_xlabel("IBO [dB]")
+    ax.set_ylabel(f"Eb/N0 [dB] for BER = {target_ber:g}")
+    ax.grid(True)
+    _cnc_mcnc_legend(ax, sel_iters, include_mcnc)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_ber_vs_nant(n_ant_arr, ebn0_db: float, ibo_db: float,
+                       channels=("los", "two_path", "rayleigh"),
+                       cnc_iter_lst=tuple(range(9)), sel_iters=(0, 2, 8),
+                       rx_name: str = "cnc", results_dir=None,
+                       save_path=None, show: bool = False):
+    """BER vs number of antennas per channel
+    (``reference/final_plots/ber_vs_nant_vs_chan.py``). Our CSV: row 0 =
+    antenna counts, then per channel clean + iterations 0..n."""
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    fname = results.ber_vs_nant_filename(rx_name, list(n_ant_arr), ebn0_db,
+                                         ibo_db, [v for v in cnc_iter_lst if v])
+    rows = results.read_from_csv(fname, **kw)
+    nant = rows[0]
+    n_per_chan = 1 + len(cnc_iter_lst)
+    fig, ax = plt.subplots()
+    ax.set_yscale("log", base=10)
+    ax.set_xscale("log", base=2)
+    styles = {"los": "-", "two_path": "--", "rayleigh": ":"}
+    for ci, chan in enumerate(channels):
+        base = 1 + ci * n_per_chan
+        _iter_series(ax, nant, rows[base + 1:base + n_per_chan],
+                     list(cnc_iter_lst), sel_iters,
+                     styles.get(chan, "-"))
+    ax.set_xlabel("N antennas")
+    ax.set_ylabel("BER")
+    ax.grid(True)
+    import matplotlib.lines as mlines
+    chan_lines = [mlines.Line2D([0], [0], linestyle=styles.get(c, "-"),
+                                color="k", label=c.replace("_", " "))
+                  for c in channels]
+    leg = ax.legend(handles=chan_lines, loc="lower left", framealpha=0.9)
+    ax.add_artist(leg)
+    _cnc_mcnc_legend(ax, sel_iters, has_mcnc=False)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_ber_vs_ite(kind: str, rx_names, chan_name: str, n_ant: int,
+                      ibo_db: float, ebn0_arr, cnc_iter_lst, ebn0_sel,
+                      results_dir=None, save_path=None, show: bool = False):
+    """BER vs CNC iteration count at selected Eb/N0 values
+    (``reference/final_plots/ber_vs_ite.py``): re-slices the saved
+    BER-vs-Eb/N0 CSVs along the iteration axis; one line style per
+    receiver (CNC solid, MCNC dashed), one color per Eb/N0."""
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    fig, ax = plt.subplots()
+    ax.set_yscale("log", base=10)
+    styles = {"cnc": "-", "mcnc": "--"}
+    for rx in rx_names:
+        fname = results.ber_sweep_filename(kind, rx, chan_name, n_ant,
+                                           ibo_db, np.asarray(ebn0_arr),
+                                           cnc_iter_lst)
+        ebn0, ber = results.load_ber_sweep(fname, **kw)
+        iters = np.arange(ber.shape[0] - 1)
+        for k, e in enumerate(ebn0_sel):
+            i = int(np.argmin(np.abs(np.asarray(ebn0) - e)))
+            ax.plot(iters, ber[1:, i], styles.get(rx, "-"),
+                    color=CB_COLOR_CYCLE[(1 + k) % len(CB_COLOR_CYCLE)],
+                    label=f"{rx.upper()} Eb/N0={ebn0[i]:g} dB")
+    ax.set_xlabel("CNC iterations I")
+    ax.set_ylabel("BER")
+    ax.grid(True)
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_mu_ber_vs_ebn0(precoding_str: str, chan_name: str, n_ant: int,
+                          ibo_db: float, ebn0_arr, cnc_iter_lst,
+                          usr_angles, usr_distances, n_users: int = 2,
+                          sel_iters=(0, 2, 8), rx_name: str = "cnc",
+                          results_dir=None, save_path=None,
+                          show: bool = False):
+    """Per-user BER vs Eb/N0 (``reference/final_plots/mu_ber_vs_ebn0.py``):
+    one line style per user, colors per iteration count. Our CSV: row 0 =
+    Eb/N0, then per user clean + iterations 0..n."""
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    fname = results.mu_ber_filename(precoding_str, chan_name, n_ant, ibo_db,
+                                    np.asarray(ebn0_arr), cnc_iter_lst,
+                                    usr_angles, usr_distances,
+                                    rx_name=rx_name)
+    rows = results.read_from_csv(fname, **kw)
+    ebn0 = rows[0]
+    n_per_usr = 2 + len(cnc_iter_lst)
+    fig, ax = plt.subplots()
+    ax.set_yscale("log", base=10)
+    usr_styles = ["-", "--", ":", "-."]
+    for u in range(n_users):
+        base = 1 + u * n_per_usr
+        ax.plot(ebn0, rows[base], usr_styles[u % 4],
+                color=CB_COLOR_CYCLE[0])
+        _iter_series(ax, ebn0, rows[base + 1:base + n_per_usr],
+                     [0] + list(cnc_iter_lst), sel_iters,
+                     usr_styles[u % 4])
+    ax.set_xlabel("Eb/N0 [dB]")
+    ax.set_ylabel("BER")
+    ax.grid(True)
+    import matplotlib.lines as mlines
+    usr_lines = [mlines.Line2D([0], [0], linestyle=usr_styles[u % 4],
+                               color="k", label=f"User {u + 1}")
+                 for u in range(n_users)]
+    leg = ax.legend(handles=usr_lines, loc="lower left", framealpha=0.9)
+    ax.add_artist(leg)
+    _cnc_mcnc_legend(ax, sel_iters, has_mcnc=False)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_ldpc_ber(code_rate_str: str, chan_name: str, n_ant: int,
+                    ibo_db: float, ebn0_arr, cnc_iter_lst,
+                    include_mcnc: bool = True, results_dir=None,
+                    save_path=None, show: bool = False):
+    """Coded (NR-LDPC) BER vs Eb/N0, CNC vs MCNC overlay
+    (``reference/final_plots/ber_ebn0_w_ldpc.py``). CSV rows: Eb/N0,
+    clean, iterations 0..n."""
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    num, den = code_rate_str.split("/")
+    fig, ax = plt.subplots()
+    ax.set_yscale("log", base=10)
+    arms = [("cnc", "-")] + ([("mcnc", "--")] if include_mcnc else [])
+    sel = [0] + list(cnc_iter_lst)
+    for alg, style in arms:
+        fname = results.ber_sweep_filename(
+            f"ldpc_{num}_{den}_ber_vs_ebn0", alg, chan_name, n_ant, ibo_db,
+            np.asarray(ebn0_arr), cnc_iter_lst)
+        ebn0, ber = results.load_ber_sweep(fname, **kw)
+        ax.plot(ebn0, ber[0], style, color=CB_COLOR_CYCLE[0])
+        _iter_series(ax, ebn0, ber[1:], sel, sel, style)
+    ax.set_xlabel("Eb/N0 [dB]")
+    ax.set_ylabel("BER")
+    ax.grid(True)
+    _cnc_mcnc_legend(ax, sel, include_mcnc)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_ber_vs_csi_err(rx_name: str, chan_name: str, n_ant: int,
+                          ibo_db: float, ebn0_arr, cnc_iter_lst,
+                          eps_values=(0.1,), sel_iters=(0, 2, 8),
+                          results_dir=None, save_path=None,
+                          show: bool = False):
+    """BER vs Eb/N0 across CSI-error magnitudes
+    (``reference/final_plots/ber_vs_csi_err.py``): one line style per
+    epsilon, colors per iteration."""
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    fig, ax = plt.subplots()
+    ax.set_yscale("log", base=10)
+    styles = ["-", "--", ":", "-."]
+    for k, eps in enumerate(eps_values):
+        fname = results.ber_sweep_filename(
+            "ber_vs_ebn0", rx_name, f"{chan_name}_csi_eps{eps:.3f}", n_ant,
+            ibo_db, np.asarray(ebn0_arr), cnc_iter_lst)
+        ebn0, ber = results.load_ber_sweep(fname, **kw)
+        _iter_series(ax, ebn0, ber[1:], [0] + list(cnc_iter_lst), sel_iters,
+                     styles[k % 4])
+    ax.set_xlabel("Eb/N0 [dB]")
+    ax.set_ylabel("BER")
+    ax.grid(True)
+    import matplotlib.lines as mlines
+    eps_lines = [mlines.Line2D([0], [0], linestyle=styles[k % 4], color="k",
+                               label=f"eps = {eps:g}")
+                 for k, eps in enumerate(eps_values)]
+    leg = ax.legend(handles=eps_lines, loc="lower left", framealpha=0.9)
+    ax.add_artist(leg)
+    _cnc_mcnc_legend(ax, sel_iters, has_mcnc=False)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_sdr_vs_ibo(filename: str = ("sdr_vs_ibo_per_channel_ibo0to8"
+                                       "_1_4_16_32_64nant"),
+                      n_ant_values=(1, 4, 16, 32, 64),
+                      channels=("los", "two_path", "rayleigh"),
+                      ibo_arr=None, results_dir=None, save_path=None,
+                      show: bool = False):
+    """SDR [dB] vs IBO per channel and antenna count
+    (``reference/final_plots/sdr_vs_ibo_vs_chan.py``,
+    ``reference/main_wwrf_plots/sdr_vs_ibo_vs_chan.py``). Our CSV: row 0 =
+    IBO, then (n_ant-major x channel) rows of linear SDR."""
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    rows = results.read_from_csv(filename, **kw)
+    ibo = rows[0] if ibo_arr is None else np.asarray(ibo_arr)
+    styles = {"los": "-", "two_path": "--", "rayleigh": ":"}
+    fig, ax = plt.subplots()
+    for ai, nant in enumerate(n_ant_values):
+        for ci, chan in enumerate(channels):
+            r = 1 + ai * len(channels) + ci
+            ax.plot(ibo, 10 * np.log10(rows[r]), styles.get(chan, "-"),
+                    color=CB_COLOR_CYCLE[ai % len(CB_COLOR_CYCLE)])
+    ax.set_xlabel("IBO [dB]")
+    ax.set_ylabel("SDR [dB]")
+    ax.grid(True)
+    import matplotlib.lines as mlines
+    import matplotlib.patches as mpatches
+    patches = [mpatches.Patch(color=CB_COLOR_CYCLE[ai % len(CB_COLOR_CYCLE)],
+                              label=f"K = {nant}")
+               for ai, nant in enumerate(n_ant_values)]
+    leg1 = ax.legend(handles=patches, title="N antennas:", loc="upper left",
+                     framealpha=0.9)
+    ax.add_artist(leg1)
+    chan_lines = [mlines.Line2D([0], [0], linestyle=styles.get(c, "-"),
+                                color="k", label=c.replace("_", " "))
+                  for c in channels]
+    ax.legend(handles=chan_lines, loc="lower right", framealpha=0.9)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_polar_beampattern(chan_name: str, ibo_db: float, n_ant: int,
+                             n_points: int = 180, n_snapshots: int = 100,
+                             precoding_angle: float = 45.0,
+                             results_dir=None, save_path=None,
+                             show: bool = False):
+    """Polar desired/distortion radiation pattern for one antenna count
+    (``reference/main_wwrf_plots/polar_beampattern_plot.py``,
+    ``reference/msc_figures/polar_beampattern_plot.py``): reads the
+    2-row (desired, distortion) powers-vs-angle CSV and renders both on a
+    half-circle polar axis in dB."""
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    fname = results.sig_powers_filename(chan_name, ibo_db, n_points,
+                                        n_snapshots, precoding_angle, n_ant)
+    rows = results.read_from_csv(fname, **kw)
+    desired, distortion = np.asarray(rows[0]), np.asarray(rows[1])
+    angles = np.radians(np.linspace(0, 180, len(desired)))
+    fig, ax = plt.subplots(subplot_kw={"projection": "polar"})
+    ax.set_thetamin(0)
+    ax.set_thetamax(180)
+    ax.plot(angles, 10 * np.log10(desired), label="Desired",
+            color=CB_COLOR_CYCLE[0])
+    ax.plot(angles, 10 * np.log10(np.maximum(distortion, 1e-30)),
+            label="Distortion", color=CB_COLOR_CYCLE[1])
+    ax.set_title(f"K = {n_ant}, IBO = {ibo_db:g} dB")
+    ax.legend(loc="lower center", ncol=2)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax

@@ -59,6 +59,113 @@ def check(name, worst, tol_log10=np.log10(1.25)):
     return ok
 
 
+def _load_fixed_ber_grid(rows, e_min, e_step):
+    """``fixed_ber*`` CSV rows ``[ibo, (ibo-major x ebn0) rows of it0..it8]``
+    -> ``(ibo_arr, ebn0_arr, grid [n_ibo, n_ebn0, 9])``. The Eb/N0 count is
+    recovered from the row count (the name's ``max`` field is int-truncated
+    by the generator)."""
+    ibo = rows[0]
+    n_ibo = len(ibo)
+    n_ebn0 = (len(rows) - 1) // n_ibo
+    assert 1 + n_ibo * n_ebn0 == len(rows), (len(rows), n_ibo)
+    grid = np.stack([np.stack(rows[1 + j * n_ebn0: 1 + (j + 1) * n_ebn0])
+                     for j in range(n_ibo)])
+    ebn0 = e_min + e_step * np.arange(n_ebn0)
+    return ibo, ebn0, grid
+
+
+def compare_all_fixed_ber():
+    """Compare EVERY committed ``fixed_ber1.0e-02_*`` file (24 of them:
+    {cnc,mcnc} x {los,two_path,rayleigh} x {nant 1,64} at several grids)
+    against our covering run for that combo
+    (``scripts/run_fixed_ber_grids.py``): required-Eb/N0 at BER 1e-2 per
+    (iteration, IBO) via the reference's own interpolation method, compared
+    on the intersection of the IBO grids with our Eb/N0 axis cropped to the
+    committed file's window (mirrors the reference's censoring). Pass =
+    median |delta req-Eb/N0| within the committed file's Eb/N0 grid step
+    (+0.1 dB interp slack) and max < 1 dB, per file."""
+    import glob
+    import os
+    import re
+
+    from mimo_ofdm_tpu.experiments.ber_sweeps import interp_req_ebn0
+
+    # our covering grids: (alg, chan, nant) -> (ebn0_arr, ibo_arr)
+    covering = {}
+    for alg in ("cnc", "mcnc"):
+        for chan in ("los", "two_path", "rayleigh"):
+            istep = 0.25 if alg == "cnc" else 0.5
+            covering[(alg, chan, 64)] = (np.arange(10.0, 22.1, 0.5),
+                                         np.arange(0.0, 7.01, istep))
+            if chan == "rayleigh":
+                covering[(alg, chan, 1)] = (np.arange(10.0, 28.1, 0.25),
+                                            np.arange(0.0, 7.01, 0.25))
+            else:
+                covering[(alg, chan, 1)] = (np.arange(10.0, 22.1, 0.5),
+                                            np.arange(0.0, 7.01, 0.5))
+
+    pat = re.compile(
+        r"fixed_ber1\.0e-02_(cnc|mcnc)_([a-z_]+)_nant(\d+)"
+        r"_ebn0_min(-?\d+)_max(-?\d+)_step(\d+\.\d+)"
+        r"_ibo_min(-?\d+)_max(-?\d+)_step(\d+\.\d+)_niter")
+    ok = True
+    n_files = 0
+    our_cache = {}
+    for path in sorted(glob.glob(f"{RD}/fixed_ber1.0e-02_*.csv")):
+        name = os.path.basename(path)[:-4]
+        mm = pat.match(name)
+        if not mm:
+            print(f"  {name}: UNPARSEABLE name"); ok = False; continue
+        alg, chan, nant = mm.group(1), mm.group(2), int(mm.group(3))
+        e_min, e_step = float(mm.group(4)), float(mm.group(6))
+        i_step = float(mm.group(9))
+        combo = (alg, chan, nant)
+        if combo not in covering:
+            print(f"  {name}: no covering combo"); ok = False; continue
+        oe, oi = covering[combo]
+        from mimo_ofdm_tpu.utils.results import fixed_ber_filename
+        our_name = fixed_ber_filename(1e-2, alg, chan, nant, oe, oi,
+                                      list(range(1, 9)))
+        if our_name not in our_cache:
+            our_path = f"{OD}/{our_name}.csv"
+            if not os.path.exists(our_path):
+                print(f"  {name}: covering run {our_name} not produced yet "
+                      "- skipped")
+                continue
+            our_cache[our_name] = _load_fixed_ber_grid(load(our_path),
+                                                       oe[0], oe[1] - oe[0])
+        o_ibo, o_ebn0, o_grid = our_cache[our_name]
+        r_ibo, r_ebn0, r_grid = _load_fixed_ber_grid(load(path), e_min, e_step)
+        # crop our Eb/N0 axis to the committed window
+        win = (o_ebn0 >= r_ebn0[0] - 1e-9) & (o_ebn0 <= r_ebn0[-1] + 1e-9)
+        req_o = interp_req_ebn0(o_grid[:, win, :], o_ebn0[win], 1e-2)
+        req_r = interp_req_ebn0(r_grid, r_ebn0, 1e-2)
+        # shared IBO values
+        oi_idx, ri_idx = [], []
+        for j, v in enumerate(r_ibo):
+            k = np.argmin(np.abs(o_ibo - v))
+            if abs(o_ibo[k] - v) < 1e-6:
+                oi_idx.append(k); ri_idx.append(j)
+        d_o = req_o[:, oi_idx]
+        d_r = req_r[:, ri_idx]
+        both = np.isfinite(d_o) & np.isfinite(d_r)
+        n_files += 1
+        if not both.any():
+            print(f"  {name}: no jointly-finite req cells"); ok = False
+            continue
+        d = np.abs(d_o[both] - d_r[both])
+        tol_med = e_step + 0.1
+        this_ok = (np.median(d) <= tol_med) and (d.max() < 1.0)
+        print(f"  {name}:\n    cells={both.sum()}/{both.size} "
+              f"|dreq| med={np.median(d):.3f} p90={np.percentile(d, 90):.3f} "
+              f"max={d.max():.3f} dB ({'OK' if this_ok else 'FAIL'} vs "
+              f"med<={tol_med:.2f}, max<1.0)")
+        ok &= this_ok
+    print(f"  => fixed_ber family: {n_files} committed files compared, "
+          f"{'OK' if ok else 'FAIL'}")
+    return ok
+
+
 def main():
     ok = True
     iters9 = "niter1_2_3_4_5_6_7_8"
@@ -80,28 +187,9 @@ def main():
     pairs = [(1 + it, 1 + it, f"it{it}") for it in range(9)]
     ok &= check("rayleigh", row_ratios(ours, ref, pairs, floor=5e-4))
 
-    print("== fixed-BER grid (cnc rayleigh nant64) ==")
-    name = (f"fixed_ber1.0e-02_cnc_rayleigh_nant64_ebn0_min10_max22"
-            f"_step0.50_ibo_min0_max7_step0.50_{iters9}")
-    ours, ref = load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
-    n_ibo, n_ebn0 = len(ours[0]), 25
-    og = np.stack([np.stack(ours[1 + j * n_ebn0: 1 + (j + 1) * n_ebn0])
-                   for j in range(n_ibo)])          # [ibo, ebn0, 9]
-    rg = np.stack([np.stack(ref[1 + j * n_ebn0: 1 + (j + 1) * n_ebn0])
-                   for j in range(n_ibo)])
-    ebn0 = np.arange(10.0, 22.1, 0.5)
-    from mimo_ofdm_tpu.experiments.ber_sweeps import interp_req_ebn0
-    req_o = interp_req_ebn0(og, ebn0, 1e-2)
-    req_r = interp_req_ebn0(rg, ebn0, 1e-2)
-    both = np.isfinite(req_o) & np.isfinite(req_r)
-    d = np.abs(req_o[both] - req_r[both])
-    print(f"  grid {og.shape}; finite req-Eb/N0 cells ours/ref: "
-          f"{np.isfinite(req_o).sum()}/{np.isfinite(req_r).sum()}")
-    print(f"  |req Eb/N0 delta| dB: med={np.median(d):.3f} "
-          f"p90={np.percentile(d, 90):.3f} max={d.max():.3f}")
-    ok_fixed = np.median(d) < 0.25 and d.max() < 1.0
-    print(f"  => fixed_ber: {'OK' if ok_fixed else 'FAIL'}")
-    ok &= ok_fixed
+    print("== fixed-BER grids (ALL committed fixed_ber1.0e-02_* files vs "
+          "our covering runs) ==")
+    ok &= compare_all_fixed_ber()
 
     print("== multi-user (mr + zf; rows [ebn0, usr x (clean+it0..it8)]) ==")
     for prec in ("mr", "zf"):
@@ -244,6 +332,77 @@ def main():
               f"(max |delta| {'%.2f' % max(deltas) if deltas else 'n/a'} dB, "
               f"tol 1.5)")
         ok &= ok_ldpc
+
+    print("== legacy unprefixed ldpc + LDPC-in-the-loop (rate-1/2 id'd; "
+          "rows [ebn0, clean, it0..itN]) ==")
+    # The unprefixed ldpc_ber_vs_ebn0_* family and the ldpc_in_loop_* files
+    # share one lost generator config (their clean/ite0 rows are
+    # byte-identical). Identification evidence (docs/CURVE_REPRODUCTION.md):
+    # clean-run cliff at Eb/N0 ~0.5 = rate 1/2 with a near-default
+    # (25-iteration) decoder; plateau level matches the rate-1/2 files.
+    for kind, alg, nant, grid in (
+            ("ldpc", "cnc", 16, "min-5_max4_step1.00"),
+            ("ldpc", "cnc", 4, "min-5_max4_step1.00"),
+            ("ldpc", "cnc", 1, "min-5_max4_step1.00"),
+            ("ldpc", "cnc", 1, "min5_max20_step1.00"),
+            ("ldpc", "mcnc", 16, "min-5_max4_step1.00"),
+            ("ldpc_in_loop", "cnc", 16, "min-5_max4_step1.00"),
+            ("ldpc_in_loop", "mcnc", 16, "min-5_max4_step1.00"),
+            ("ldpc_in_loop", "cnc", 16, "min-2_max2_step0.50"),
+            ("ldpc_in_loop", "mcnc", 16, "min-2_max2_step0.50")):
+        name = (f"{kind}_ber_vs_ebn0_{alg}_los_nant{nant}_ibo0_ebn0_{grid}"
+                f"_niter1_2_3")
+        ours, ref = maybe(name)
+        if ours:
+            pairs = [(1, 1, "clean"), (2, 2, "it0"), (3, 3, "it1"),
+                     (5, 5, "it3")]
+            # decoder-failure plateaus compare as ratios; cliffs are steep
+            # on the 1 dB grid so tolerate the table+decoder band (~2.5x
+            # BER mid-cliff ~ the 0.3-0.4 dB shift measured in
+            # docs/CURVE_REPRODUCTION.md)
+            ok &= check(f"{kind} {alg} nant{nant}",
+                        row_ratios(ours, ref, pairs, floor=1e-3),
+                        tol_log10=np.log10(2.5))
+
+    print("== nvadj (noise-variance-adjusted LLR, Quadriga arm via TDL "
+          "substitute) ==")
+    for alg in ("cnc", "mcnc"):
+        ref_name = (f"nvadj_ldpc_3_4_ber_vs_ebn0_{alg}_quadriga_nant16_ibo0"
+                    f"_ebn0_min-5_max15_step2.00_niter1_2_3")
+        our_name = (f"nvadj_ldpc_3_4_ber_vs_ebn0_{alg}_tdl_3gpp_nant16_ibo0"
+                    f"_ebn0_min-5_max15_step2.00_niter1_2_3")
+        if not os.path.exists(f"{OD}/{our_name}.csv"):
+            print(f"  {our_name}: ours not produced yet — skipped")
+            continue
+        ours, ref = load(f"{OD}/{our_name}.csv"), load(f"{RD}/{ref_name}.csv")
+        pairs = [(1, 1, "clean"), (2, 2, "it0"), (5, 5, "it3")]
+        # engine-substitute arm: same wider tolerance as the tdl family
+        worst = row_ratios(ours, ref, pairs, floor=1e-3)
+        ok_nv = worst <= np.log10(3.0)
+        print(f"  => nvadj {alg} (substitute channel, tol 3x): "
+              f"worst={worst:.4f} ({'OK' if ok_nv else 'FAIL'})")
+        ok &= ok_nv
+
+    print("== no_noise BER vs IBO (pure-distortion errors; rows "
+          "[ibo, it0..it8]) ==")
+    for alg, ebn0 in (("cnc", 15), ("mcnc", 18)):
+        name = (f"no_noise_ber_vs_ibo_{alg}_los_nant16_ebn0_{ebn0}"
+                f"_ibo_min-5_max7_step0.50_{iters9}")
+        ours, ref = maybe(name)
+        if ours:
+            pairs = [(1 + it, 1 + it, f"it{it}") for it in (0, 1, 2, 5, 8)]
+            ok &= check(f"no_noise {alg}",
+                        row_ratios(ours, ref, pairs, floor=5e-4))
+
+    print("== proc_N files: N/A by design ==")
+    print("  The 12 committed proc_{0..11}_ber_vs_ebn0_mu_* files are the "
+          "per-OS-process partial outputs of ONE reference mp run (the "
+          "prototype merges them, reference/main_multiuser/"
+          "multiuser_mp_prototype.py); the merged curve is the already-"
+          "compared ber_vs_ebn0_mu_* family. A TPU run has no per-process "
+          "shards — its per-device counters are psum-reduced on device — "
+          "so these files have no analogue and are covered by the merged "
+          "comparison above.")
 
     print("\nALL OK" if ok else "\nSOME COMPARISONS FAILED")
     return 0 if ok else 1

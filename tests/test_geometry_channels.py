@@ -176,9 +176,15 @@ def test_tdl_channel_unit_power_and_los_flatness():
             p.append(np.mean(np.abs(h) ** 2))
         assert np.mean(p) == pytest.approx(1.0, rel=0.15), profile
     # LOS (TDL-D, K ~ 13.3 dB) is far more frequency-flat than NLOS TDL-A
+    # (averaged over fade realizations: a single draw's coefficient of
+    # variation fluctuates ~2x)
     cv = {}
     for profile in ("tdl_d", "tdl_a"):
-        h = np.asarray(channels.tdl_channel(jax.random.key(7), tx, rx, freqs,
-                                            profile, skip_attenuation=True))
-        cv[profile] = np.std(np.abs(h)) / np.mean(np.abs(h))
+        vals = []
+        for s in range(10):
+            h = np.asarray(channels.tdl_channel(jax.random.key(s), tx, rx,
+                                                freqs, profile,
+                                                skip_attenuation=True))
+            vals.append(np.std(np.abs(h)) / np.mean(np.abs(h)))
+        cv[profile] = np.mean(vals)
     assert cv["tdl_d"] < 0.5 * cv["tdl_a"]

@@ -39,13 +39,14 @@ def test_planar_eligibility_gate():
     assert link_planar.planar_eligible(_cfg())
     assert link_planar.planar_eligible(_cfg(chan="los", alg="none"))
     assert link_planar.planar_eligible(_cfg(alg="mcnc"))
-    assert not link_planar.planar_eligible(_cfg(chan="two_path"))
+    assert link_planar.planar_eligible(_cfg(chan="two_path"))
+    assert not link_planar.planar_eligible(_cfg(chan="random_paths"))
     assert not link_planar.planar_eligible(_cfg().replace(precoding="zf"))
     assert not link_planar.planar_eligible(_cfg().replace(csi_epsilon=0.1))
     assert not link_planar.planar_eligible(
         _cfg().replace(rx=RxConfig(algorithm="cnc_mu")))
     # non-eligible config + planar storage must silently use the complex path
-    cfg = _cfg(chan="two_path").replace(channel_storage="bfloat16")
+    cfg = _cfg(chan="random_paths").replace(channel_storage="bfloat16")
     make_frame_fn(cfg, n_iters=1)  # builds without error
 
 
@@ -66,7 +67,7 @@ def test_planar_mcnc_bf16_within_mc_noise():
     np.testing.assert_allclose(plan[1], base[1], rtol=0.15, atol=60)
 
 
-@pytest.mark.parametrize("chan", ["los", "rayleigh"])
+@pytest.mark.parametrize("chan", ["los", "two_path", "rayleigh"])
 def test_planar_float32_matches_complex_path(chan):
     """Planar storage at float32 must reproduce the complex64 path's
     counters up to f32 rounding: the fade stream is SHARED for both
@@ -77,7 +78,7 @@ def test_planar_float32_matches_complex_path(chan):
     deviation."""
     base = _totals(_cfg(chan=chan))
     plan = _totals(_cfg(chan=chan).replace(channel_storage="float32"))
-    tol = 0.02 if chan == "los" else 0.03
+    tol = 0.03 if chan == "rayleigh" else 0.02
     assert abs(base[0] - plan[0]) <= max(tol * base[0], 50), (base, plan)
     np.testing.assert_allclose(plan[1], base[1],
                                rtol=tol, atol=30 if chan == "rayleigh" else 10)

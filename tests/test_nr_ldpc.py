@@ -216,3 +216,68 @@ def test_surrogate_draws_independent_but_structural():
             assert np_syndrome_ok(code, cw), d
         finally:
             nr_ldpc.set_surrogate_draw(0)
+
+
+def test_true_table_hook_end_to_end():
+    """`set_base_graph_tables` is the promised drop-in for the real TS
+    38.212 Table 5.3.2-2/-3 data (unavailable in this environment): a
+    synthetic full-size BG1 shift table — a *different surrogate draw*,
+    structurally valid like the true tables — installed through the hook
+    must (a) actually override the default protograph, and (b) run the
+    complete transport chain encode -> rate-match -> decode round trip."""
+    import jax
+    import numpy as np
+    from mimo_ofdm_tpu.ops import ldpc as ldpc_ops
+    from mimo_ofdm_tpu.ops import nr_ldpc, transport as tp
+
+    e_total = 768
+    chain0 = tp.make_nr_transport_chain(e_total, bg=1, target_rate=0.5)
+    zc = chain0.code.z
+    i_ls = next(i for i, s in enumerate(nr_ldpc.LIFTING_SETS) if zc in s)
+
+    # synthetic "true" table = surrogate draw 5's base graph (valid
+    # double-diagonal parity core + identity extension like the standard)
+    nr_ldpc.set_surrogate_draw(5)
+    try:
+        synthetic = np.array(nr_ldpc._base_graph_cached(1, i_ls))
+    finally:
+        nr_ldpc.set_surrogate_draw(0)
+    assert synthetic.shape == (46, 68)
+
+    base_cw = None
+    try:
+        payload = np.asarray(
+            jax.random.bernoulli(jax.random.key(3), 0.5,
+                                 (chain0.a,)), np.int8)
+        base_cw = np.asarray(tp.transport_encode(chain0, payload))
+
+        nr_ldpc.set_base_graph_tables(1, i_ls, synthetic)
+        chain1 = tp.make_nr_transport_chain(e_total, bg=1, target_rate=0.5)
+        cw = np.asarray(tp.transport_encode(chain1, payload))
+        # (a) the installed table is used: parity differs from the default
+        assert not np.array_equal(cw, base_cw)
+
+        # (b) full chain round trip with the installed table: noiseless
+        # LLRs decode to the payload with a passing TB CRC
+        llr = (1.0 - 2.0 * cw.astype(np.float32)) * 8.0  # decoder sign: +=0
+        hat, ok = tp.transport_decode(chain1, llr, n_iters=20,
+                                      algorithm="sumprod")
+        assert bool(np.asarray(ok))
+        np.testing.assert_array_equal(np.asarray(hat), payload)
+
+        # shape validation guard
+        try:
+            nr_ldpc.set_base_graph_tables(1, i_ls, synthetic[:, :10])
+            raise AssertionError("bad shape accepted")
+        except ValueError:
+            pass
+    finally:
+        nr_ldpc._user_tables.pop((1, i_ls), None)
+        nr_ldpc._base_graph_cached.cache_clear()
+
+    # the override is cleanly removed: default protograph restored
+    chain2 = tp.make_nr_transport_chain(e_total, bg=1, target_rate=0.5)
+    payload2 = np.asarray(
+        jax.random.bernoulli(jax.random.key(3), 0.5, (chain2.a,)), np.int8)
+    assert np.array_equal(np.asarray(tp.transport_encode(chain2, payload2)),
+                          base_cw)

@@ -114,3 +114,126 @@ def test_link_config_storage_validation():
     with pytest.raises(ValueError, match="channel_storage"):
         LinkConfig(channel_storage="complex128")
     LinkConfig(mxu_fft_storage="float32", channel_storage="complex64")
+
+
+def test_replot_styles_render(tmp_path):
+    """Each final_plots-style replot function renders from synthetic CSVs
+    written in our layouts (smoke: figure created, file saved)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import numpy as np
+    from mimo_ofdm_tpu.utils import replot, results
+
+    rng = np.random.default_rng(0)
+    iters = list(range(1, 9))
+    ibo = np.arange(0.0, 4.1, 1.0)
+    ebn0 = np.arange(10.0, 16.1, 2.0)
+
+    # ber_vs_ibo (rows [ibo, it0..it8]) for cnc + mcnc
+    for alg in ("cnc", "mcnc"):
+        results.save_to_csv(
+            [ibo] + [rng.uniform(1e-4, 1e-1, len(ibo)) for _ in range(9)],
+            results.ber_vs_ibo_filename(alg, "los", 8, 15.0, ibo, iters),
+            results_dir=tmp_path)
+    fig, _ = replot.replot_ber_vs_ibo(
+        "los", 8, 15.0, ibo, results_dir=tmp_path,
+        save_path=tmp_path / "ibo.png")
+    assert (tmp_path / "ibo.png").exists()
+
+    # fixed_ber grid (rows [ibo, ibo-major x ebn0 rows of it0..it8])
+    for alg in ("cnc", "mcnc"):
+        data = [ibo]
+        for _ in range(len(ibo)):
+            for i, e in enumerate(ebn0):
+                data.append(np.sort(rng.uniform(1e-4, 0.3, 9))[::-1]
+                            * 10 ** (-i / 2))
+        results.save_to_csv(
+            data, results.fixed_ber_filename(1e-2, alg, "los", 8, ebn0, ibo,
+                                             iters),
+            results_dir=tmp_path)
+    replot.replot_fixed_ber_req_ebn0_vs_ibo(
+        "los", 8, ebn0, ibo, results_dir=tmp_path,
+        save_path=tmp_path / "fixed.png")
+    assert (tmp_path / "fixed.png").exists()
+
+    # ber_vs_nant (rows [nant, 3 chan x (clean + it0..it8)])
+    nant = [1, 4, 16]
+    data = [np.asarray(nant, float)]
+    for _ in range(3 * 10):
+        data.append(rng.uniform(1e-5, 1e-1, len(nant)))
+    results.save_to_csv(data, results.ber_vs_nant_filename(
+        "cnc", nant, 15.0, 0.0, iters), results_dir=tmp_path)
+    replot.replot_ber_vs_nant(nant, 15.0, 0.0, results_dir=tmp_path,
+                              save_path=tmp_path / "nant.png")
+    assert (tmp_path / "nant.png").exists()
+
+    # ber_vs_ite reuses the ber_vs_ebn0 layout
+    results.save_to_csv(
+        [ebn0] + [rng.uniform(1e-5, 1e-1, len(ebn0)) for _ in range(10)],
+        results.ber_sweep_filename("ber_vs_ebn0", "cnc", "los", 8, 0.0,
+                                   ebn0, iters), results_dir=tmp_path)
+    replot.replot_ber_vs_ite("ber_vs_ebn0", ["cnc"], "los", 8, 0.0, ebn0,
+                             iters, ebn0_sel=(12.0, 14.0),
+                             results_dir=tmp_path,
+                             save_path=tmp_path / "ite.png")
+    assert (tmp_path / "ite.png").exists()
+
+    # multi-user (rows [ebn0, usr x (clean + it0..it8)])
+    data = [ebn0]
+    for _ in range(2 * 10):
+        data.append(rng.uniform(1e-5, 1e-1, len(ebn0)))
+    results.save_to_csv(data, results.mu_ber_filename(
+        "mr", "los", 8, 0.0, ebn0, iters, (-30, 30), (100, 316.3)),
+        results_dir=tmp_path)
+    replot.replot_mu_ber_vs_ebn0("mr", "los", 8, 0.0, ebn0, iters,
+                                 (-30, 30), (100, 316.3),
+                                 results_dir=tmp_path,
+                                 save_path=tmp_path / "mu.png")
+    assert (tmp_path / "mu.png").exists()
+
+    # coded ldpc curves (rows [ebn0, clean, it0..it3])
+    it3 = [1, 2, 3]
+    for alg in ("cnc", "mcnc"):
+        results.save_to_csv(
+            [ebn0] + [rng.uniform(1e-6, 0.3, len(ebn0)) for _ in range(5)],
+            results.ber_sweep_filename("ldpc_1_2_ber_vs_ebn0", alg, "los",
+                                       8, 0.0, ebn0, it3),
+            results_dir=tmp_path)
+    replot.replot_ldpc_ber("1/2", "los", 8, 0.0, ebn0, it3,
+                           results_dir=tmp_path,
+                           save_path=tmp_path / "ldpc.png")
+    assert (tmp_path / "ldpc.png").exists()
+
+    # CSI-error overlay
+    results.save_to_csv(
+        [ebn0] + [rng.uniform(1e-5, 1e-1, len(ebn0)) for _ in range(10)],
+        results.ber_sweep_filename("ber_vs_ebn0", "cnc", "los_csi_eps0.100",
+                                   8, 0.0, ebn0, iters),
+        results_dir=tmp_path)
+    replot.replot_ber_vs_csi_err("cnc", "los", 8, 0.0, ebn0, iters,
+                                 eps_values=(0.1,), results_dir=tmp_path,
+                                 save_path=tmp_path / "csi.png")
+    assert (tmp_path / "csi.png").exists()
+
+    # SDR vs IBO (rows [ibo, nant-major x chan], linear)
+    data = [ibo] + [rng.uniform(1.0, 100.0, len(ibo))
+                    for _ in range(5 * 3)]
+    results.save_to_csv(data, "sdr_vs_ibo_per_channel_ibo0to8"
+                              "_1_4_16_32_64nant", results_dir=tmp_path)
+    replot.replot_sdr_vs_ibo(results_dir=tmp_path,
+                             save_path=tmp_path / "sdr.png")
+    assert (tmp_path / "sdr.png").exists()
+
+    # polar beampattern (rows [desired, distortion] over angles)
+    results.save_to_csv([rng.uniform(1e-3, 1.0, 30),
+                         rng.uniform(1e-6, 1e-2, 30)],
+                        results.sig_powers_filename("los", 3.0, 30, 10,
+                                                    45.0, 8),
+                        results_dir=tmp_path)
+    replot.replot_polar_beampattern("los", 3.0, 8, n_points=30,
+                                    n_snapshots=10, results_dir=tmp_path,
+                                    save_path=tmp_path / "polar.png")
+    assert (tmp_path / "polar.png").exists()
+
+    import matplotlib.pyplot as plt
+    plt.close("all")
