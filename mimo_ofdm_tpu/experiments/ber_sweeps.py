@@ -18,11 +18,12 @@ from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig, LinkConfig,
 
 
 def _save(res: SweepResult, cfg: LinkConfig, kind: str, n_iters: int,
-          save_csv: bool, param_name: str = "ebn0"):
+          save_csv: bool, param_name: str = "ebn0", chan_suffix: str = ""):
     if not save_csv:
         return None
     fname = results.ber_sweep_filename(
-        kind, cfg.rx.algorithm, cfg.channel.model, cfg.array.n_elements,
+        kind, cfg.rx.algorithm, cfg.channel.model + chan_suffix,
+        cfg.array.n_elements,
         cfg.pa.ibo_db, res.param_values, list(range(1, n_iters + 1)))
     return results.save_ber_sweep(res.param_values, res.ber_matrix, fname)
 
@@ -31,10 +32,14 @@ def _save(res: SweepResult, cfg: LinkConfig, kind: str, n_iters: int,
 def miso_ber_vs_ebn0(channels=("los",), algorithm="cnc", n_ant=64,
                      ibo_db=0.0, n_iters=8, ebn0_min=5.0, ebn0_max=20.0,
                      ebn0_step=0.5, n_err_min=100_000, bits_sent_max=10_000_000,
-                     batch=32, seed=0, save_csv=True, verbose=True,
+                     batch=32, channel_kwargs=None, save_suffix="",
+                     seed=0, save_csv=True, verbose=True,
                      small=False):
     """Canonical BER vs Eb/N0 per channel per CNC/MCNC iteration count
-    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ebn0.py``)."""
+    (``reference/main_clipping_noise_cancellation/main_miso_cnc_ber_vs_ebn0.py``).
+    ``channel_kwargs`` are extra :class:`ChannelConfig` fields (e.g.
+    ``{"tdl_k_db": 9.0, "tdl_k_std_db": 3.5}``); ``save_suffix`` is
+    appended to the channel name in the CSV filename."""
     cfg0, _ = canonical_miso_cnc()
     if small:
         cfg0 = cfg0.replace(modem=ModemConfig(constel_size=64, n_fft=256,
@@ -43,14 +48,15 @@ def miso_ber_vs_ebn0(channels=("los",), algorithm="cnc", n_ant=64,
     for chan in channels:
         cfg = cfg0.replace(
             array=ArrayConfig(n_elements=n_ant, cord_z=cfg0.array.cord_z),
-            channel=ChannelConfig(model=chan),
+            channel=ChannelConfig(model=chan, **(channel_kwargs or {})),
             pa=PaConfig(model=cfg0.pa.model, ibo_db=ibo_db),
             rx=RxConfig(algorithm=algorithm))
         sweep = SweepConfig(ebn0_min=ebn0_min, ebn0_max=ebn0_max,
                             ebn0_step=ebn0_step, n_err_min=n_err_min,
                             bits_sent_max=bits_sent_max, batch_frames=batch)
         res = run_ber_sweep(cfg, sweep, n_iters, seed=seed, verbose=verbose)
-        _save(res, cfg, "ber_vs_ebn0", n_iters, save_csv)
+        _save(res, cfg, "ber_vs_ebn0", n_iters, save_csv,
+              chan_suffix=save_suffix)
         out[chan] = res
     return out
 
@@ -673,8 +679,8 @@ def ldpc_ref_ber(code_rate_str="1/2", channel="los", algorithm="cnc",
 
 
 @register("ldpc_in_loop_ber")
-def ldpc_in_loop_ber(code_rate_str="1/2", channel="los", algorithm="cnc",
-                     n_ant=16, ibo_db=0.0, n_iters=3, ldpc_iters=25,
+def ldpc_in_loop_ber(code_rate_str="1/3", channel="los", algorithm="cnc",
+                     n_ant=16, ibo_db=0.0, n_iters=3, ldpc_iters=12,
                      ebn0_min=-5.0, ebn0_max=4.0, ebn0_step=1.0,
                      n_err_min=20_000, bits_sent_max=10_000_000, batch=16,
                      seed=0, save_csv=True, verbose=True, small=False):
@@ -688,9 +694,12 @@ def ldpc_in_loop_ber(code_rate_str="1/2", channel="los", algorithm="cnc",
     Defaults = the committed files' grid (nant16 LOS, IBO 0, Eb/N0 -5..4
     step 1, niters 1..3). The committed files carry no rate in the name;
     their byte-identical clean/ite0 rows with the legacy
-    ``ldpc_ber_vs_ebn0_*`` family and the clean-run cliff at Eb/N0 ~ 0.5
-    identify rate 1/2 with a near-default (25-iteration) decoder — see
-    docs/CURVE_REPRODUCTION.md for the identification evidence."""
+    ``ldpc_ber_vs_ebn0_*`` family identify one lost generator config,
+    pinned by a candidate sweep (``scripts/identify_legacy_ldpc.py``) to
+    **rate 1/3 with a 12-iteration decoder**: clean-run cliff delta
+    -0.10 dB and mean |dlog10 BER| 0.027 vs the committed rows, while
+    every rate-1/2 candidate misses the cliff by > 3 dB — see
+    docs/CURVE_REPRODUCTION.md."""
     num, den = code_rate_str.split("/")
     rate = float(num) / float(den)
     ebn0, ber, _ = transport_coded_ber(

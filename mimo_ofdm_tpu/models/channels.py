@@ -238,7 +238,9 @@ def tdl_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
                 profile: str = "uma_los", delay_spread: float = 300e-9,
                 skip_attenuation: bool = False, tx_gain_db: float = 0.0,
                 rx_gain_db: float = 0.0, n_subpaths: int = 20,
-                asd_deg: float = 5.0, dtype=jnp.complex64) -> Array:
+                asd_deg: float = 5.0, k_db: float | None = None,
+                k_std_db: float = 0.0, ds_log10_std: float = 0.0,
+                dtype=jnp.complex64) -> Array:
     """Stochastic tapped-delay-line channel with the exact TR 38.901
     Table 7.7.2-x profiles: per-tap Rayleigh fading (plus the
     deterministic specular component on LOS profiles) with array phase
@@ -257,9 +259,24 @@ def tdl_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
     in rounds 2-3, whose missing spread made iterative (CNC/MCNC)
     convergence too fast vs the committed Quadriga curves
     (docs/CURVE_REPRODUCTION.md). The specular LOS component stays a
-    single unspread ray."""
+    single unspread ray.
+
+    ``k_db`` applies TR 38.901 section 7.7.6 **K-factor scaling** to the
+    LOS profiles: the specular power becomes ``K/(K+1)`` and the diffuse
+    taps are renormalized to ``1/(K+1)``. With ``k_std_db > 0`` the
+    K-factor is drawn per call as ``Normal(k_db, k_std_db)`` dB — the
+    stochastic per-realization K of the geometric 38.901 model (Table
+    7.5-6: UMa LOS mu_K = 9 dB, sigma_K = 3.5 dB) that the Quadriga
+    engine samples and the fixed-profile TDL tables do not. Similarly
+    ``ds_log10_std`` draws the delay spread per call as a lognormal
+    around ``delay_spread`` (Table 7.5-6 lgDS sigma; UMa LOS 0.66 in
+    log10 seconds)."""
     prof = TDL_PROFILES[profile]
-    delays = jnp.asarray(prof["delays"] * delay_spread)
+    k_fade, k_doa, k_kf, k_ds = jax.random.split(key, 4)
+    if ds_log10_std > 0.0:
+        delay_spread = delay_spread * 10.0 ** (
+            ds_log10_std * jax.random.normal(k_ds, ()))
+    delays = jnp.asarray(prof["delays"]) * delay_spread
     powers = 10.0 ** (jnp.asarray(prof["powers_db"]) / 10.0)
     los_pow = (10.0 ** (prof["los_db"] / 10.0)
                if prof["los_db"] is not None else 0.0)
@@ -268,7 +285,11 @@ def tdl_channel(key: Array, tx_pos: Array, rx_pos: Array, freqs: Array,
     los_pow = los_pow / total
     n_taps = delays.shape[0]
 
-    k_fade, k_doa = jax.random.split(key)
+    if k_db is not None and prof["los_db"] is not None:
+        kf_db = k_db + k_std_db * jax.random.normal(k_kf, ())
+        k_lin = 10.0 ** (kf_db / 10.0)
+        los_pow = k_lin / (k_lin + 1.0)
+        powers = powers / jnp.sum(powers) / (k_lin + 1.0)
     doa = jax.random.uniform(k_doa, (n_taps,), minval=-jnp.pi / 2,
                              maxval=jnp.pi / 2)
     # per-tap array steering from element x-offsets (broadside ULA approx)

@@ -109,6 +109,9 @@ def make_channel_fn(cfg: LinkConfig, freqs: Array, rx_base: Array,
                                         skip_attenuation=skip_att,
                                         n_subpaths=cfg.channel.tdl_subpaths,
                                         asd_deg=cfg.channel.tdl_asd_deg,
+                                        k_db=cfg.channel.tdl_k_db,
+                                        k_std_db=cfg.channel.tdl_k_std_db,
+                                        ds_log10_std=cfg.channel.tdl_ds_log10_std,
                                         dtype=dtype)
         raise ValueError(f"unknown channel model {model!r}")
 

@@ -85,6 +85,14 @@ class ChannelConfig:
     # deep-CNC-iteration curves require (docs/CURVE_REPRODUCTION.md).
     tdl_subpaths: int = 20
     tdl_asd_deg: float = 5.0      # per-cluster azimuth spread of departure
+    # TR 38.901 section 7.7.6 K-factor scaling for LOS TDL profiles; None
+    # keeps the table K (TDL-D: 13.3 dB). k_std > 0 draws K per frame
+    # (the geometric model's lognormal K, Table 7.5-6: UMa LOS 9 +- 3.5 dB)
+    tdl_k_db: float | None = None
+    tdl_k_std_db: float = 0.0
+    # lognormal delay-spread draw per frame (log10-seconds sigma; Table
+    # 7.5-6 lgDS: UMa LOS 0.66). 0 = fixed delay spread.
+    tdl_ds_log10_std: float = 0.0
     rician_k_db: float = 9.0      # K-factor for model="rician"
 
 

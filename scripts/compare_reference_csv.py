@@ -60,18 +60,26 @@ def check(name, worst, tol_log10=np.log10(1.25)):
 
 
 def _load_fixed_ber_grid(rows, e_min, e_step):
-    """``fixed_ber*`` CSV rows ``[ibo, (ibo-major x ebn0) rows of it0..it8]``
-    -> ``(ibo_arr, ebn0_arr, grid [n_ibo, n_ebn0, 9])``. The Eb/N0 count is
-    recovered from the row count (the name's ``max`` field is int-truncated
-    by the generator)."""
+    """``fixed_ber*`` CSV -> ``(ibo_arr, ebn0_arr, grid, req)``.
+
+    Two committed layouts exist: the raw BER grid
+    ``[ibo, (ibo-major x ebn0) rows of it0..it8]`` (current generator,
+    ``main_mp_miso_cnc_constant_ber_req_ebn0_vs_ibo.py:210-215``) and an
+    older **pre-interpolated** layout ``[ibo, 9 rows of required Eb/N0
+    per iteration]``. Returns ``grid [n_ibo, n_ebn0, 9]`` + ``req=None``
+    for the raw layout, or ``grid=None`` + ``req [9, n_ibo]`` for the
+    pre-interpolated one. The Eb/N0 count is recovered from the row count
+    (the name's ``max`` field is int-truncated by the generator)."""
     ibo = rows[0]
     n_ibo = len(ibo)
+    if len(rows) == 10 and all(len(r) == n_ibo for r in rows[1:]):
+        return ibo, None, None, np.stack(rows[1:])
     n_ebn0 = (len(rows) - 1) // n_ibo
     assert 1 + n_ibo * n_ebn0 == len(rows), (len(rows), n_ibo)
     grid = np.stack([np.stack(rows[1 + j * n_ebn0: 1 + (j + 1) * n_ebn0])
                      for j in range(n_ibo)])
     ebn0 = e_min + e_step * np.arange(n_ebn0)
-    return ibo, ebn0, grid
+    return ibo, ebn0, grid, None
 
 
 def compare_all_fixed_ber():
@@ -134,12 +142,22 @@ def compare_all_fixed_ber():
                 continue
             our_cache[our_name] = _load_fixed_ber_grid(load(our_path),
                                                        oe[0], oe[1] - oe[0])
-        o_ibo, o_ebn0, o_grid = our_cache[our_name]
-        r_ibo, r_ebn0, r_grid = _load_fixed_ber_grid(load(path), e_min, e_step)
-        # crop our Eb/N0 axis to the committed window
-        win = (o_ebn0 >= r_ebn0[0] - 1e-9) & (o_ebn0 <= r_ebn0[-1] + 1e-9)
-        req_o = interp_req_ebn0(o_grid[:, win, :], o_ebn0[win], 1e-2)
-        req_r = interp_req_ebn0(r_grid, r_ebn0, 1e-2)
+        o_ibo, o_ebn0, o_grid, _ = our_cache[our_name]
+        r_ibo, r_ebn0, r_grid, r_req = _load_fixed_ber_grid(load(path),
+                                                            e_min, e_step)
+        if r_req is not None:
+            # pre-interpolated ref layout: its Eb/N0 window is the name's
+            e1 = e_min + e_step * 100  # name max is the true upper bound
+            mm2 = re.search(r"ebn0_min(-?\d+)_max(-?\d+)", name)
+            e1 = float(mm2.group(2)) + e_step
+            win = (o_ebn0 >= e_min - 1e-9) & (o_ebn0 <= e1 + 1e-9)
+            req_o = interp_req_ebn0(o_grid[:, win, :], o_ebn0[win], 1e-2)
+            req_r = np.where(np.isfinite(r_req), r_req, np.inf)
+        else:
+            # crop our Eb/N0 axis to the committed window
+            win = (o_ebn0 >= r_ebn0[0] - 1e-9) & (o_ebn0 <= r_ebn0[-1] + 1e-9)
+            req_o = interp_req_ebn0(o_grid[:, win, :], o_ebn0[win], 1e-2)
+            req_r = interp_req_ebn0(r_grid, r_ebn0, 1e-2)
         # shared IBO values
         oi_idx, ri_idx = [], []
         for j, v in enumerate(r_ibo):
@@ -333,8 +351,41 @@ def main():
               f"tol 1.5)")
         ok &= ok_ldpc
 
-    print("== legacy unprefixed ldpc + LDPC-in-the-loop (rate-1/2 id'd; "
-          "rows [ebn0, clean, it0..itN]) ==")
+    print("== 3-user MU radiation pattern (nant128 npoints1800 — the "
+          "consumer's file) ==")
+    mu_name = ("multiuser_mrt_sig_powers_vs_angle_two_path_chan_ibo3"
+               "_npoints1800_nsnap10_angle78_nant128")
+    if os.path.exists(f"{OD}/{mu_name}.csv"):
+        import ast
+
+        def load_listcells(p):
+            rows = list(csv.reader(open(p)))
+            return (np.array(ast.literal_eval(rows[0][0])),
+                    np.array(ast.literal_eval(rows[1][0])))
+
+        od, odist = load_listcells(f"{OD}/{mu_name}.csv")
+        rd, rdist = load_listcells(f"{RD}/{mu_name}.csv")
+
+        def corr(a, b):
+            a = (a - a.mean()) / a.std()
+            b = (b - b.mean()) / b.std()
+            return float(np.mean(a * b))
+
+        c_des = corr(od, rd)
+        c_dist = corr(odist, rdist)
+        lvl = od.max() / rd.max()
+        print(f"  desired corr={c_des:.4f} distortion corr={c_dist:.4f} "
+              f"peak level ratio={lvl:.3f}")
+        ok_mu = c_des >= 0.99 and c_dist >= 0.99 and 0.9 < lvl < 1.1
+        print(f"  => mu_3usr_nant128: {'OK' if ok_mu else 'FAIL'} "
+              "(nant8/16 files: lost-config, see CURVE_REPRODUCTION.md)")
+        ok &= ok_mu
+    else:
+        print(f"  {mu_name}: ours not produced yet — skipped")
+
+    print("== legacy unprefixed ldpc + LDPC-in-the-loop (lost generator "
+          "config; plateau rows comparable, cliff caveat in "
+          "CURVE_REPRODUCTION.md; rows [ebn0, clean, it0..itN]) ==")
     # The unprefixed ldpc_ber_vs_ebn0_* family and the ldpc_in_loop_* files
     # share one lost generator config (their clean/ite0 rows are
     # byte-identical). Identification evidence (docs/CURVE_REPRODUCTION.md):

@@ -3,7 +3,7 @@
 Produces every CSV the round-4 comparator additions need:
 
 1. fixed-BER covering grids (24 committed files; scripts/run_fixed_ber_grids.py)
-2. legacy unprefixed ``ldpc_ber_vs_ebn0_*`` family (rate-1/2 identification)
+2. legacy unprefixed ``ldpc_ber_vs_ebn0_*`` family (identified: rate 1/3, 12-iteration decoder)
 3. ``ldpc_in_loop_*`` (4 files)
 4. ``nvadj_ldpc_3_4_*`` (2 files, TDL substitute channel, serial decode
    for the BG1 Zc=224 Mosaic workaround)
@@ -46,7 +46,8 @@ def stage_ldpc_legacy():
               flush=True)
         transport_coded_ber(
             channel="los", algorithm=alg, n_ant=nant, ibo_db=0.0, n_iters=3,
-            code_rate=0.5, rv=0, ldpc_iters=25, ldpc_algorithm="sumprod",
+            code_rate=1.0 / 3.0, rv=0, ldpc_iters=12,
+            ldpc_algorithm="sumprod",
             exact_payload=True, csv_kind="ldpc_ber_vs_ebn0",
             ebn0_min=e0, ebn0_max=e1, ebn0_step=1.0,
             n_err_min=20_000, bits_sent_max=10_000_000, batch=16,
@@ -59,9 +60,9 @@ def stage_in_loop():
         for e0, e1, es in ((-5.0, 4.0, 1.0), (-2.0, 2.0, 0.5)):
             print(f"--- ldpc_in_loop {alg} ebn0 {e0}..{e1} step {es} ---",
                   flush=True)
-            ldpc_in_loop_ber(code_rate_str="1/2", channel="los",
+            ldpc_in_loop_ber(code_rate_str="1/3", channel="los",
                              algorithm=alg, n_ant=16, n_iters=3,
-                             ldpc_iters=25, ebn0_min=e0, ebn0_max=e1,
+                             ldpc_iters=12, ebn0_min=e0, ebn0_max=e1,
                              ebn0_step=es, n_err_min=20_000,
                              bits_sent_max=10_000_000, batch=16,
                              verbose=True)
