@@ -75,7 +75,9 @@ def main():
     mcnc_fps = None
     if not os.environ.get("BENCH_SKIP_MCNC"):
         from mimo_ofdm_tpu.utils.config import RxConfig
-        mcnc_batch = int(os.environ.get("BENCH_MCNC_BATCH", "256"))
+        # batch 512 is the MCNC sweet spot (2.2k vs 1.3k frames/s at 256
+        # and 2.0k at 1024 — the 8 live replica chains raise HBM pressure)
+        mcnc_batch = int(os.environ.get("BENCH_MCNC_BATCH", "512"))
         mcnc_round = make_round_fn(cfg.replace(rx=RxConfig(algorithm="mcnc")),
                                    n_iters=n_iters, batch=mcnc_batch)
         consume(mcnc_round(key, snr))
