@@ -426,7 +426,20 @@ def replot_polar_beampattern(chan_name: str, ibo_db: float, n_ant: int,
     fname = results.sig_powers_filename(chan_name, ibo_db, n_points,
                                         n_snapshots, precoding_angle, n_ant)
     rows = results.read_from_csv(fname, **kw)
-    desired, distortion = np.asarray(rows[0]), np.asarray(rows[1])
+
+    def to_pattern(row):
+        """One float per cell (single-count file) OR one python-list cell
+        per antenna count, cumulative save-inside-the-loop layout
+        (``reference/main_beampatterns_plotting/
+        main_mrt_precoding_radiation_pattern.py``; our writer matches) —
+        the last cell is the file's terminal antenna count."""
+        try:
+            return np.asarray(row, float)
+        except (TypeError, ValueError):
+            import ast
+            return np.asarray(ast.literal_eval(row[-1]), float)
+
+    desired, distortion = to_pattern(rows[0]), to_pattern(rows[1])
     angles = np.radians(np.linspace(0, 180, len(desired)))
     fig, ax = plt.subplots(subplot_kw={"projection": "polar"})
     ax.set_thetamin(0)
