@@ -131,3 +131,33 @@ def test_csi_error_degrades_ber():
     r0 = run_ber_sweep(cfg0, sweep_one(15.0, n_err=800), n_iters=0, seed=5)
     r1 = run_ber_sweep(cfg1, sweep_one(15.0, n_err=800), n_iters=0, seed=5)
     assert r1.ber_matrix[0, 0] > r0.ber_matrix[0, 0]
+
+
+def test_run_sweep_pipelined_matches_run_point():
+    """The cross-point pipelined scheduler derives per-point keys exactly
+    like run_point(fold_in(key, i), ...), so with stop criteria that
+    aren't mask-stale-sensitive (single round per point) the accumulated
+    counters are bit-identical; multi-round points stay deterministic."""
+    import jax
+    from mimo_ofdm_tpu.parallel.montecarlo import (run_point,
+                                                   run_sweep_pipelined)
+    cfg = small_cfg()
+    round_fn = make_round_fn(cfg, n_iters=2, batch=8)
+    key = jax.random.key(11)
+    snrs = [8.0, 11.0, 14.0]
+    pts = run_sweep_pipelined(round_fn, key, snrs, n_counters=4,
+                              n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+                              batch=8, n_err_min=500, bits_sent_max=150_000)
+    for i, snr in enumerate(snrs):
+        ref = run_point(round_fn, jax.random.fold_in(key, i), snr,
+                        n_counters=4,
+                        n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+                        batch=8, n_err_min=500, bits_sent_max=150_000)
+        np.testing.assert_array_equal(pts[i].n_err, ref.n_err)
+        np.testing.assert_array_equal(pts[i].n_bits, ref.n_bits)
+    # determinism of the pipelined path itself
+    pts2 = run_sweep_pipelined(round_fn, key, snrs, n_counters=4,
+                               n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
+                               batch=8, n_err_min=500, bits_sent_max=150_000)
+    for a, b in zip(pts, pts2):
+        np.testing.assert_array_equal(a.n_err, b.n_err)
