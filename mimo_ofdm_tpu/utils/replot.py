@@ -121,12 +121,14 @@ def replot_fixed_ber_req_ebn0_vs_ibo(chan_name: str, n_ant: int, ebn0_arr,
                                      cnc_iter_lst=tuple(range(9)),
                                      sel_iters=(0, 1, 2, 5, 8),
                                      include_mcnc: bool = True,
+                                     ibo_arr_mcnc=None,
                                      results_dir=None, save_path=None,
                                      show: bool = False):
     """Required Eb/N0 for a target BER vs IBO, interpolated from the saved
     raw (IBO x Eb/N0) BER grid exactly like
     ``reference/final_plots/fixed_ber_ebno_vs_ibo.py`` (CNC solid, MCNC
-    dashed)."""
+    dashed). ``ibo_arr_mcnc`` lets the MCNC arm use a coarser saved IBO
+    grid than the CNC arm (our covering runs use 0.25/0.5 dB steps)."""
     import matplotlib.pyplot as plt
 
     from mimo_ofdm_tpu.experiments.ber_sweeps import interp_req_ebn0
@@ -135,10 +137,14 @@ def replot_fixed_ber_req_ebn0_vs_ibo(chan_name: str, n_ant: int, ebn0_arr,
     kw = {} if results_dir is None else {"results_dir": results_dir}
     ebn0_arr = np.asarray(ebn0_arr, float)
     fig, ax = plt.subplots()
-    arms = [("cnc", "-")] + ([("mcnc", "--")] if include_mcnc else [])
-    for alg, style in arms:
+    arms = [("cnc", "-", np.asarray(ibo_arr))]
+    if include_mcnc:
+        arms.append(("mcnc", "--",
+                     np.asarray(ibo_arr if ibo_arr_mcnc is None
+                                else ibo_arr_mcnc)))
+    for alg, style, arm_ibo in arms:
         fname = results.fixed_ber_filename(target_ber, alg, chan_name, n_ant,
-                                           ebn0_arr, np.asarray(ibo_arr),
+                                           ebn0_arr, arm_ibo,
                                            [v for v in cnc_iter_lst if v])
         rows = results.read_from_csv(fname, **kw)
         ibo = rows[0]
