@@ -592,6 +592,14 @@ def transport_coded_ber(channel="los", algorithm="cnc", n_ant=64, ibo_db=0.0,
               f"filler={chain.n_filler} E_cb={chain.e_cb} "
               f"rate={chain.coded_rate:.3f}")
     if in_loop:
+        if serial_decode or nv_adjust:
+            # the in-loop round has no chunked-decode or nvadj path; a
+            # caller requesting the Mosaic-SIGSEGV workaround must not
+            # silently get a fully-fused batched decode
+            raise ValueError(
+                "in_loop=True supports neither serial_decode nor "
+                "nv_adjust (make_transport_inloop_round_fn decodes "
+                "fused); drop those flags or use in_loop=False")
         round_fn = make_transport_inloop_round_fn(
             cfg, n_iters, batch, chain, ldpc_iters=ldpc_iters,
             ldpc_algorithm=ldpc_algorithm)
@@ -718,7 +726,7 @@ def nvadj_ldpc_ber(code_rate_str="3/4", channel="tdl_3gpp",
                    algorithm="cnc", n_ant=16, ibo_db=0.0, n_iters=3,
                    ldpc_iters=12, ebn0_min=-5.0, ebn0_max=15.0,
                    ebn0_step=2.0, n_err_min=20_000,
-                   bits_sent_max=10_000_000, batch=16, serial_decode=False,
+                   bits_sent_max=10_000_000, batch=16, serial_decode=16,
                    seed=0, save_csv=True, verbose=True, small=False):
     """Noise-variance-**adjusted** LLR coded BER — the ``nvadj_ldpc``
     result variant (committed

@@ -113,6 +113,14 @@ def make_channel_fn(cfg: LinkConfig, freqs: Array, rx_base: Array,
                                         k_std_db=cfg.channel.tdl_k_std_db,
                                         ds_log10_std=cfg.channel.tdl_ds_log10_std,
                                         dtype=dtype)
+        if model == "gscm":
+            from mimo_ofdm_tpu.models import gscm
+            return gscm.gscm_channel(
+                k_fade, tx_pos, rx_position(k_loc), freqs,
+                scenario=cfg.channel.gscm_scenario,
+                skip_attenuation=skip_att,
+                element_pattern=cfg.channel.gscm_element_pattern,
+                dtype=dtype)
         raise ValueError(f"unknown channel model {model!r}")
 
     return channel_fn

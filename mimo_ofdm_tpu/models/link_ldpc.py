@@ -229,9 +229,13 @@ def make_transport_frame_fn(cfg: LinkConfig, n_iters: int,
         ``mean |sym - harddet(sym)|^2`` over the frame's data subcarriers
         — a data-aided estimate of thermal noise **plus the residual
         (uncancelled) PA distortion** at that CNC tap, floored by the
-        thermal term so deep-cliff taps never under-weight the noise."""
+        thermal term so deep-cliff taps never under-weight the noise.
+        Both arms of the floor use the reference's deliberate 2x noise
+        scale (``mp_ldpc_model.py:121`` doubles the true post-AGC noise
+        power), so the LLR scaling is continuous across the floor and
+        the thermal-limited limit matches the non-adjusted decoder."""
         det, _ = qam.detect_symbols_and_bits(sym, m, dtype=sym.dtype)
-        measured = jnp.mean(jnp.abs(sym - det) ** 2)
+        measured = 2.0 * jnp.mean(jnp.abs(sym - det) ** 2)
         nv_thermal = 2.0 * avg_sym_pow / (10.0 ** (snr_db / 10.0))
         return -qam.soft_llr(sym, m, jnp.maximum(measured, nv_thermal))
 

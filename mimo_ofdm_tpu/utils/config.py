@@ -94,6 +94,15 @@ class ChannelConfig:
     # 7.5-6 lgDS: UMa LOS 0.66). 0 = fixed delay spread.
     tdl_ds_log10_std: float = 0.0
     rician_k_db: float = 9.0      # K-factor for model="rician"
+    # model="gscm": native TR 38.901 geometric drop model (models/gscm.py),
+    # the full-fidelity substitute for the reference's Quadriga engine
+    # (reference/channel.py:404-494). One independent 38.901 drop per
+    # frame at the rerolled RX position, exactly like each
+    # qd_get_channel_mat call.
+    gscm_scenario: str = "uma_los"   # uma_los | uma_nlos
+    # 3GPP directional element pattern (the reference's '3gpp-3d' MATLAB
+    # array, qd_channel_env_setup.m:24); False = isotropic elements
+    gscm_element_pattern: bool = True
 
 
 @dataclass(frozen=True)

@@ -147,7 +147,6 @@ def compare_all_fixed_ber():
                                                             e_min, e_step)
         if r_req is not None:
             # pre-interpolated ref layout: its Eb/N0 window is the name's
-            e1 = e_min + e_step * 100  # name max is the true upper bound
             mm2 = re.search(r"ebn0_min(-?\d+)_max(-?\d+)", name)
             e1 = float(mm2.group(2)) + e_step
             win = (o_ebn0 >= e_min - 1e-9) & (o_ebn0 <= e1 + 1e-9)
@@ -388,9 +387,11 @@ def main():
           "CURVE_REPRODUCTION.md; rows [ebn0, clean, it0..itN]) ==")
     # The unprefixed ldpc_ber_vs_ebn0_* family and the ldpc_in_loop_* files
     # share one lost generator config (their clean/ite0 rows are
-    # byte-identical). Identification evidence (docs/CURVE_REPRODUCTION.md):
-    # clean-run cliff at Eb/N0 ~0.5 = rate 1/2 with a near-default
-    # (25-iteration) decoder; plateau level matches the rate-1/2 files.
+    # byte-identical). Identified by candidate sweep
+    # (scripts/identify_legacy_ldpc.py, docs/CURVE_REPRODUCTION.md) as
+    # **rate 1/3 with a 12-iteration decoder**: clean-run cliff delta
+    # -0.10 dB and mean |dlog10 BER| 0.027, while every rate-1/2
+    # candidate misses the cliff by > 3 dB.
     for kind, alg, nant, grid in (
             ("ldpc", "cnc", 16, "min-5_max4_step1.00"),
             ("ldpc", "cnc", 4, "min-5_max4_step1.00"),

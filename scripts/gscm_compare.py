@@ -1,0 +1,93 @@
+"""Native TR 38.901 GSCM vs the committed Quadriga UMa curves.
+
+Round-4 closed the books on the TDL model class at deep-iteration
+medians ~0.74-0.78 (figs/profiling/tdl_variants.json); this runs the
+full geometric drop model (models/gscm.py) against the same committed
+MATLAB/Quadriga curves. Target (VERDICT r4 item 1): deep-iteration
+medians-of-ratios in [0.8, 1.25].
+
+Arms (all committed in reference/figs/csv_results/):
+  cnc  / uma_los  nant64  ebn0 5..20 step 1, niter 1..8
+  mcnc / uma_los  nant64  ebn0 5..20 step 1, niter 1..8
+  cnc  / uma_nlos nant64  ebn0 10..20 step 1, niter 1..8
+  mcnc / uma_nlos nant64  ebn0 10..20 step 1, niter 1..8
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/gscm_compare.py [arm...]
+Writes figs/profiling/gscm_compare.json (merging across invocations).
+"""
+
+import csv
+import json
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+RD = "/root/reference/figs/csv_results"
+OUT = os.path.join(HERE, "..", "figs", "profiling", "gscm_compare.json")
+
+ARMS = {
+    "cnc_uma_los": dict(
+        alg="cnc", scenario="uma_los", ebn0=(5.0, 20.0, 1.0),
+        ref="ber_vs_ebn0_cnc_3GPP_38.901_UMa_LOS_nant64_ibo0_ebn0_min5_"
+            "max20_step1.00_niter1_2_3_4_5_6_7_8.csv"),
+    "mcnc_uma_los": dict(
+        alg="mcnc", scenario="uma_los", ebn0=(5.0, 20.0, 1.0),
+        ref="ber_vs_ebn0_mcnc_3GPP_38.901_UMa_LOS_nant64_ibo0_ebn0_min5_"
+            "max20_step1.00_niter1_2_3_4_5_6_7_8.csv"),
+    "cnc_uma_nlos": dict(
+        alg="cnc", scenario="uma_nlos", ebn0=(10.0, 20.0, 1.0),
+        ref="ber_vs_ebn0_cnc_3GPP_38.901_UMa_NLOS_nant64_ibo0_ebn0_min10_"
+            "max20_step1.00_niter1_2_3_4_5_6_7_8.csv"),
+    "mcnc_uma_nlos": dict(
+        alg="mcnc", scenario="uma_nlos", ebn0=(10.0, 20.0, 1.0),
+        ref="ber_vs_ebn0_mcnc_3GPP_38.901_UMa_NLOS_nant64_ibo0_ebn0_min10_"
+            "max20_step1.00_niter1_2_3_4_5_6_7_8.csv"),
+}
+
+ROWS = ((1, "clean"), (2, "it0"), (4, "it2"), (7, "it5"), (10, "it8"))
+
+
+def run_arm(name, spec, channel_kwargs, n_err_min=100_000,
+            bits_sent_max=10_000_000):
+    from mimo_ofdm_tpu.experiments.ber_sweeps import miso_ber_vs_ebn0
+
+    ref = [np.array([float(x) for x in r])
+           for r in csv.reader(open(os.path.join(RD, spec["ref"])))]
+    e0, e1, es = spec["ebn0"]
+    res = miso_ber_vs_ebn0(
+        channels=("gscm",), algorithm=spec["alg"], n_ant=64, ibo_db=0.0,
+        n_iters=8, ebn0_min=e0, ebn0_max=e1, ebn0_step=es,
+        n_err_min=n_err_min, bits_sent_max=bits_sent_max, batch=64,
+        channel_kwargs=channel_kwargs, save_csv=False, verbose=True)
+    ber = res["gscm"].ber_matrix          # [10, n_pts]: clean + it0..it8
+    meds = {}
+    cells = {}
+    for row, label in ROWS:
+        o, f = ber[row - 1], ref[row]
+        m = (o > 5e-4) & (f > 5e-4)
+        meds[label] = float(np.median(o[m] / f[m])) if m.any() else None
+        cells[label] = [[float(e), float(a), float(b)]
+                        for e, a, b in zip(ref[0], o, f)]
+    return {"kw": channel_kwargs, "medians": meds, "cells": cells,
+            "ref": spec["ref"]}
+
+
+def main():
+    arms = sys.argv[1:] or list(ARMS)
+    out = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            out = json.load(f)
+    for name in arms:
+        kw = {"gscm_scenario": ARMS[name]["scenario"]}
+        print(f"--- arm {name}: {kw} ---", flush=True)
+        out[name] = run_arm(name, ARMS[name], kw)
+        print(f"  medians: {out[name]['medians']}", flush=True)
+        with open(OUT, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
