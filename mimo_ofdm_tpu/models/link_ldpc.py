@@ -476,6 +476,33 @@ def make_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
     >= 2); chunk-16 bodies with the decoder's ``fusion_barrier`` compile
     and cost ~20x less wall time than chunk 1. Statistics are identical
     — only the device schedule changes."""
+    body = make_transport_body_fn(cfg, n_iters, chain, ldpc_iters,
+                                  ldpc_algorithm=ldpc_algorithm,
+                                  incl_clean=incl_clean, reroll=reroll,
+                                  serial_decode=serial_decode,
+                                  nv_adjust=nv_adjust, dtype=dtype)
+    tx_pos = link_static(cfg, dtype)[0]
+
+    @jax.jit
+    def round_fn(key: Array, snr_db: Array) -> TransportFrameCounters:
+        keys = jax.random.split(key, batch)
+        return body(keys, snr_db, tx_pos)
+
+    return round_fn
+
+
+def make_transport_body_fn(cfg: LinkConfig, n_iters: int,
+                           chain, ldpc_iters: int = 25, *,
+                           ldpc_algorithm: str = "minsum",
+                           incl_clean: bool = True, reroll: bool = True,
+                           serial_decode: int = 0, nv_adjust: bool = False,
+                           dtype=jnp.complex64):
+    """Unjitted transport-round body ``body(keys [batch], snr_db,
+    tx_pos) -> TransportFrameCounters`` (counters summed over the key
+    batch). Shared by :func:`make_transport_round_fn` (single device)
+    and :func:`mimo_ofdm_tpu.parallel.sharded.make_sharded_transport_round_fn`
+    (per-device shard inside ``shard_map``, keys pre-split so sharded and
+    unsharded rounds are counter-identical for the same master key)."""
     from mimo_ofdm_tpu.ops import transport as tp
 
     frame_fn = make_transport_frame_fn(cfg, n_iters, chain, ldpc_iters,
@@ -484,35 +511,33 @@ def make_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
                                        return_llrs=serial_decode,
                                        nv_adjust=nv_adjust,
                                        dtype=dtype)
-    tx_pos = link_static(cfg, dtype)[0]
 
     if not serial_decode:
-        @jax.jit
-        def round_fn(key: Array, snr_db: Array) -> TransportFrameCounters:
-            keys = jax.random.split(key, batch)
+        def body(keys: Array, snr_db: Array,
+                 tx_pos: Array) -> TransportFrameCounters:
             counters = jax.vmap(frame_fn, in_axes=(0, None, None))(
                 keys, snr_db, tx_pos)
             return jax.tree.map(
                 lambda x: jnp.sum(x, axis=0, dtype=jnp.int32), counters)
 
-        return round_fn
+        return body
 
     n_taps = n_iters + 1
 
-    @jax.jit
-    def round_fn(key: Array, snr_db: Array) -> TransportFrameCounters:
-        keys = jax.random.split(key, batch)
+    def body(keys: Array, snr_db: Array,
+             tx_pos: Array) -> TransportFrameCounters:
+        b = keys.shape[0]   # local batch (may be a per-device shard)
         pay_c, llr_c, pay_d, llr_d = jax.vmap(
             frame_fn, in_axes=(0, None, None))(keys, snr_db, tx_pos)
-        # [batch, E] clean + [batch, n_taps, E] dist -> flat item axis
-        flat = llr_d.reshape(batch * n_taps, chain.e_total)
+        # [b, E] clean + [b, n_taps, E] dist -> flat item axis
+        flat = llr_d.reshape(b * n_taps, chain.e_total)
         if incl_clean:
             flat = jnp.concatenate([llr_c, flat], axis=0)
 
         rx, ok = tp.transport_decode(chain, flat, n_iters=ldpc_iters,
                                      algorithm=ldpc_algorithm,
                                      serial_blocks=int(serial_decode))
-        n_clean = batch if incl_clean else 0
+        n_clean = b if incl_clean else 0
         if incl_clean:
             clean_err = jnp.sum(bits_ops.count_bit_errors(
                 pay_c, rx[:n_clean], axis=-1), dtype=jnp.int32)
@@ -520,15 +545,15 @@ def make_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
         else:
             clean_err = jnp.zeros((), jnp.int32)
             clean_blk = jnp.zeros((), jnp.int32)
-        rx_d = rx[n_clean:].reshape(batch, n_taps, chain.a)
-        ok_d = ok[n_clean:].reshape(batch, n_taps)
+        rx_d = rx[n_clean:].reshape(b, n_taps, chain.a)
+        ok_d = ok[n_clean:].reshape(b, n_taps)
         dist_err = jnp.sum(bits_ops.count_bit_errors(
             pay_d[:, None, :], rx_d, axis=-1), axis=0, dtype=jnp.int32)
         dist_blk = jnp.sum((~ok_d).astype(jnp.int32), axis=0)
         return TransportFrameCounters(clean_err=clean_err, clean_blk=clean_blk,
                                       dist_err=dist_err, dist_blk=dist_blk)
 
-    return round_fn
+    return body
 
 
 def make_coded_round_fn(cfg: LinkConfig, n_iters: int, batch: int,

@@ -139,3 +139,57 @@ def make_sharded_mu_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
         return spmd(keys, snr_db, tx_pos_global)
 
     return round_fn
+
+
+def make_sharded_transport_round_fn(cfg: LinkConfig, n_iters: int, batch: int,
+                                    chain, mesh: Mesh, *,
+                                    ldpc_iters: int = 12,
+                                    ldpc_algorithm: str = "minsum",
+                                    serial_decode: int = 0,
+                                    nv_adjust: bool = False,
+                                    incl_clean: bool = True,
+                                    reroll: bool = True,
+                                    dtype=jnp.complex64):
+    """Data-parallel SPMD transport-coded round over the ``dp`` mesh axis
+    — the sharded analogue of the reference's per-process ``LinkLdpc``
+    workers racing on shared coded-BER counters
+    (``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:15``,
+    ``main_mp_ldpc_cnc_ber_vs_ebn0.py``). Each device runs ``batch/dp``
+    full DL-SCH frames (CRC/segment/LDPC/rate-match + CNC/MCNC +
+    decode, optionally chunked via ``serial_decode`` — the Mosaic
+    workaround path); the ``TransportFrameCounters`` reduce with one
+    ``psum``. Keys are pre-split over the *global* batch, so the sharded
+    round is counter-identical to
+    :func:`mimo_ofdm_tpu.models.link_ldpc.make_transport_round_fn`
+    for the same master key (tested in ``tests/test_sharding.py``)."""
+    from mimo_ofdm_tpu.models.link_ldpc import (TransportFrameCounters,
+                                                make_transport_body_fn)
+
+    n_dp = mesh.shape["dp"]
+    if batch % n_dp:
+        raise ValueError(f"batch {batch} not divisible by dp={n_dp}")
+    body = make_transport_body_fn(cfg, n_iters, chain, ldpc_iters,
+                                  ldpc_algorithm=ldpc_algorithm,
+                                  incl_clean=incl_clean, reroll=reroll,
+                                  serial_decode=serial_decode,
+                                  nv_adjust=nv_adjust, dtype=dtype)
+    tx_pos_global = link_static(cfg, dtype)[0]
+
+    def spmd_body(keys_local, snr_db, tx_pos):
+        local = body(keys_local, snr_db, tx_pos)
+        return jax.tree.map(lambda x: jax.lax.psum(x, "dp"), local)
+
+    spmd = jax.shard_map(
+        spmd_body, mesh=mesh,
+        in_specs=(P("dp"), P(), P()),
+        out_specs=TransportFrameCounters(clean_err=P(), clean_blk=P(),
+                                         dist_err=P(), dist_blk=P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def round_fn(key, snr_db):
+        keys = jax.random.split(key, batch)
+        return spmd(keys, snr_db, tx_pos_global)
+
+    return round_fn

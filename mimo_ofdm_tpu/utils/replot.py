@@ -462,3 +462,124 @@ def replot_polar_beampattern(chan_name: str, ibo_db: float, n_ant: int,
     if show:
         plt.show()
     return fig, ax
+
+
+def replot_berin_berout_vs_ibo(chan_name: str = "los", n_ant: int = 64,
+                               ebn0_list=(15.0, 1000.0),
+                               sel_iters=(1, 2, 5), ibo_arr=None,
+                               n_iters: int = 8, results_dir=None,
+                               save_path=None, show: bool = False):
+    """Receiver-output BER vs receiver-input BER, traced by sweeping IBO
+    (``reference/final_plots/berin_berout_vs_ibo.py``): for each Eb/N0
+    and each selected iteration count ``i``, plot ``BER[iter i+1]``
+    against ``BER[iter i]`` from the ``ber_vs_ibo_{cnc,mcnc}_*`` grids
+    (CNC solid, MCNC dashed), log-log with equal aspect and the
+    no-gain diagonal. ``ebn0`` 1000 is the reference's label for the
+    no-noise arm (``no_noise_`` CSV prefix,
+    ``ber_vs_ibo_cnc_los_nant64_ebn0_1000_*``)."""
+    import matplotlib.lines as mlines
+    import matplotlib.patches as mpatches
+    import matplotlib.pyplot as plt
+    from matplotlib import ticker as mticker
+
+    set_latex_plot_style()
+    if ibo_arr is None:
+        ibo_arr = np.arange(-9.0, 9.5, 0.5)
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    iters = list(range(1, n_iters + 1))
+
+    fig, ax = plt.subplots()
+    ax.set_xscale("log", base=10)
+    ax.set_yscale("log", base=10)
+    ax.set_aspect("equal")
+    for ebn0 in ebn0_list:
+        for alg, style in (("cnc", "-"), ("mcnc", "--")):
+            fname = results.ber_vs_ibo_filename(alg, chan_name, n_ant,
+                                                ebn0, ibo_arr, iters)
+            if ebn0 >= 999:
+                fname = "no_noise_" + fname
+            _, ber = results.load_ber_sweep(fname, **kw)
+            # rows: iteration 0..n_iters (no clean row in the vs-IBO layout)
+            color_idx = 2  # reference starts its color cycle at index 2
+            for it in range(n_iters):
+                if it not in sel_iters:
+                    continue
+                ax.plot(ber[it], ber[it + 1], style,
+                        color=CB_COLOR_CYCLE[color_idx % len(CB_COLOR_CYCLE)])
+                color_idx += 1
+
+    handles = []
+    color_idx = 2
+    for it in sel_iters:
+        handles.append(mpatches.Patch(
+            color=CB_COLOR_CYCLE[color_idx % len(CB_COLOR_CYCLE)], label=it))
+        color_idx += 1
+    leg1 = ax.legend(handles=handles, title="I iterations:",
+                     loc="upper left", ncol=1, framealpha=0.9)
+    ax.add_artist(leg1)
+    ax.legend(handles=[
+        mlines.Line2D([0], [0], linestyle="-", color="k", label="CNC"),
+        mlines.Line2D([0], [0], linestyle="--", color="k", label="MCNC"),
+        mlines.Line2D([0], [0], linestyle=":", color="k", label="No gain")],
+        loc="lower right", framealpha=0.9, ncol=1)
+    ax.set_xlabel("BER in [-]")
+    ax.set_ylabel("BER out [-]")
+    ax.set_xlim([1e-5, 4e-1])
+    ax.set_ylim([1e-5, 4e-1])
+    ax.xaxis.set_major_locator(mticker.LogLocator(numticks=999))
+    lo, hi = ax.get_xlim()
+    ax.plot([lo, hi], [lo, hi], color="k", linestyle=":", linewidth=1)
+    ax.grid(True)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_alpha_per_ant_vs_ibo(n_ant: int = 64, ibo_db: float = 0.0,
+                                channels=("rayleigh", "two_path", "los"),
+                                results_dir=None, save_path=None,
+                                show: bool = False):
+    """Per-antenna empirical Bussgang alpha_k scatter vs that antenna's
+    effective IBO_k under MRT power redistribution, against the
+    analytical alpha(IBO) curve
+    (``reference/final_plots/alpha_per_ant_vs_ibo.py`` consuming
+    ``alpha_vs_tx_power_per_ant64_ibo0.0.csv``). Reads our
+    ``alpha_vs_tx_pow_per_ant_nant{n}_ibo{i}`` layout (rows: one IBO row
+    per channel, then one lambda row per channel)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.ticker import MaxNLocator
+    from mimo_ofdm_tpu.ops.pa import bussgang_alpha
+
+    set_latex_plot_style()
+    kw = {} if results_dir is None else {"results_dir": results_dir}
+    rows = results.read_from_csv(
+        f"alpha_vs_tx_pow_per_ant_nant{n_ant}_ibo{int(ibo_db)}", **kw)
+    n_chan = len(channels)
+    ibo_rows = [np.asarray(rows[i], float) for i in range(n_chan)]
+    lam_rows = [np.asarray(rows[n_chan + i], float) for i in range(n_chan)]
+
+    labels = {"rayleigh": "Rayleigh", "two_path": "Two-path", "los": "LOS"}
+    fig, ax = plt.subplots()
+    for ci, chan in enumerate(channels):
+        ax.plot(ibo_rows[ci], lam_rows[ci], ".",
+                color=CB_COLOR_CYCLE[ci % len(CB_COLOR_CYCLE)],
+                label=labels.get(chan, chan))
+    ibo_range = np.linspace(min(r.min() for r in ibo_rows),
+                            max(r.max() for r in ibo_rows), 100)
+    ax.plot(ibo_range, np.asarray(bussgang_alpha(ibo_range)), "--k",
+            label="Analytical", alpha=0.7)
+    ax.yaxis.set_major_locator(MaxNLocator(5))
+    ax.xaxis.set_major_locator(MaxNLocator(6))
+    ax.set_xlabel(r"$\mathrm{IBO_k}$ [dB]")
+    ax.set_ylabel(r"$\mathrm{\alpha_k}$ [-]")
+    ax.grid(True)
+    ax.legend(title="Channel:", loc="lower right", framealpha=0.9)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax

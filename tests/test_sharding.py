@@ -176,3 +176,38 @@ def test_mu_tp_sharding_bf16_statistically_consistent():
                                atol=8.0 / n_bits)
     np.testing.assert_array_equal(np.asarray(single.clean_err),
                                   np.asarray(sharded.clean_err))
+
+
+@needs_8_devices
+def test_dp_sharded_transport_round_counter_identical():
+    """The dp-sharded transport-coded round (full DL-SCH chain + CNC +
+    LDPC decode per device, psum-reduced counters) must reproduce the
+    single-device round's counters exactly for the same master key —
+    keys are pre-split over the global batch (the coded analogue of the
+    reference's per-process LinkLdpc workers on shared counters,
+    ``reference/main_cnc_mcnc_w_ldpc/mp_ldpc_model.py:15``)."""
+    from mimo_ofdm_tpu.models.link_ldpc import (make_transport_round_fn,
+                                                transport_chain_for_modem)
+    from mimo_ofdm_tpu.parallel.sharded import make_sharded_transport_round_fn
+
+    cfg = small_cfg(alg="cnc")
+    chain = transport_chain_for_modem(cfg, code_rate=0.5, n_blocks=2,
+                                      family="ira")
+    key = jax.random.key(11)
+    single = make_transport_round_fn(cfg, 2, 8, chain, ldpc_iters=6,
+                                     ldpc_algorithm="minsum")(key, 8.0)
+    mesh = make_mesh(n_dp=4, n_tp=2)
+    sharded = make_sharded_transport_round_fn(
+        cfg, 2, 8, chain, mesh, ldpc_iters=6,
+        ldpc_algorithm="minsum")(key, 8.0)
+    for f in ("clean_err", "clean_blk", "dist_err", "dist_blk"):
+        np.testing.assert_array_equal(np.asarray(getattr(single, f)),
+                                      np.asarray(getattr(sharded, f)))
+
+    # serial_decode (the Mosaic workaround path) under sharding too
+    chunked = make_sharded_transport_round_fn(
+        cfg, 2, 8, chain, mesh, ldpc_iters=6,
+        ldpc_algorithm="minsum", serial_decode=4)(key, 8.0)
+    for f in ("clean_err", "clean_blk", "dist_err", "dist_blk"):
+        np.testing.assert_array_equal(np.asarray(getattr(single, f)),
+                                      np.asarray(getattr(chunked, f)))

@@ -237,3 +237,40 @@ def test_replot_styles_render(tmp_path):
 
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_replot_berin_berout_and_alpha_per_ant(tmp_path):
+    """The last two final_plots styles (berin_berout_vs_ibo,
+    alpha_per_ant_vs_ibo) render from synthetic CSVs in our layouts."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import numpy as np
+    from mimo_ofdm_tpu.utils import replot, results
+
+    rng = np.random.default_rng(1)
+    iters = list(range(1, 9))
+    ibo = np.arange(-9.0, 9.5, 0.5)
+
+    # ber_vs_ibo grids for cnc+mcnc at ebn0 15 and the no-noise arm
+    for ebn0, prefix in ((15.0, ""), (1000.0, "no_noise_")):
+        for alg in ("cnc", "mcnc"):
+            fname = prefix + results.ber_vs_ibo_filename(alg, "los", 8,
+                                                         ebn0, ibo, iters)
+            results.save_to_csv(
+                [ibo] + [np.sort(rng.uniform(1e-5, 3e-1, len(ibo)))[::-1]
+                         for _ in range(9)],
+                fname, results_dir=tmp_path)
+    fig, _ = replot.replot_berin_berout_vs_ibo(
+        "los", 8, ebn0_list=(15.0, 1000.0), ibo_arr=ibo,
+        results_dir=tmp_path, save_path=tmp_path / "bb.png")
+    assert (tmp_path / "bb.png").exists()
+
+    # alpha_vs_tx_pow layout: one IBO row per channel then one lambda row
+    n_ant = 8
+    data = [rng.uniform(-1, 3, n_ant) for _ in range(3)]
+    data += [rng.uniform(0.75, 0.79, n_ant) for _ in range(3)]
+    results.save_to_csv(data, f"alpha_vs_tx_pow_per_ant_nant{n_ant}_ibo0",
+                        results_dir=tmp_path)
+    fig, _ = replot.replot_alpha_per_ant_vs_ibo(
+        n_ant, 0.0, results_dir=tmp_path, save_path=tmp_path / "al.png")
+    assert (tmp_path / "al.png").exists()
