@@ -44,6 +44,17 @@ ARMS = {
         alg="mcnc", scenario="uma_nlos", ebn0=(10.0, 20.0, 1.0),
         ref="ber_vs_ebn0_mcnc_3GPP_38.901_UMa_NLOS_nant64_ibo0_ebn0_min10_"
             "max20_step1.00_niter1_2_3_4_5_6_7_8.csv"),
+    # the committed quadriga_nant8 pair (the serial script's UMa-LOS run
+    # at 8 antennas, reference/main_quadriga_channel/
+    # main_quadriga_cnc_ber_vs_ebn0.py:57)
+    "cnc_nant8": dict(
+        alg="cnc", scenario="uma_los", n_ant=8, ebn0=(5.0, 20.0, 1.0),
+        ref="ber_vs_ebn0_cnc_quadriga_nant8_ibo0_ebn0_min5_max20_"
+            "step1.00_niter1_2_3_4_5_6_7_8.csv"),
+    "mcnc_nant8": dict(
+        alg="mcnc", scenario="uma_los", n_ant=8, ebn0=(5.0, 20.0, 1.0),
+        ref="ber_vs_ebn0_mcnc_quadriga_nant8_ibo0_ebn0_min5_max20_"
+            "step1.00_niter1_2_3_4_5_6_7_8.csv"),
 }
 
 ROWS = ((1, "clean"), (2, "it0"), (4, "it2"), (7, "it5"), (10, "it8"))
@@ -57,7 +68,8 @@ def run_arm(name, spec, channel_kwargs, n_err_min=100_000,
            for r in csv.reader(open(os.path.join(RD, spec["ref"])))]
     e0, e1, es = spec["ebn0"]
     res = miso_ber_vs_ebn0(
-        channels=("gscm",), algorithm=spec["alg"], n_ant=64, ibo_db=0.0,
+        channels=("gscm",), algorithm=spec["alg"],
+        n_ant=spec.get("n_ant", 64), ibo_db=0.0,
         n_iters=8, ebn0_min=e0, ebn0_max=e1, ebn0_step=es,
         n_err_min=n_err_min, bits_sent_max=bits_sent_max, batch=64,
         channel_kwargs=channel_kwargs, save_csv=False, verbose=True)
@@ -74,8 +86,7 @@ def run_arm(name, spec, channel_kwargs, n_err_min=100_000,
             "ref": spec["ref"]}
 
 
-def main():
-    arms = sys.argv[1:] or list(ARMS)
+def main_arms(arms):
     out = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
@@ -87,6 +98,12 @@ def main():
         print(f"  medians: {out[name]['medians']}", flush=True)
         with open(OUT, "w") as f:
             json.dump(out, f, indent=1)
+
+
+def main():
+    # default run covers the four nant64 arms; nant8 arms are invoked by
+    # scripts/run_round5_fill.py (or by name on the CLI)
+    main_arms(sys.argv[1:] or [a for a in ARMS if "nant8" not in a])
 
 
 if __name__ == "__main__":
