@@ -455,6 +455,25 @@ def main():
               f"tol {tol}x): worst={worst:.4f} ({'OK' if ok_nv else 'FAIL'})")
         ok &= ok_nv
 
+    print("== plain coded Quadriga arm (rate 3/4 via the native GSCM) ==")
+    for alg in ("cnc", "mcnc"):
+        ref_name = (f"ldpc_3_4_ber_vs_ebn0_{alg}_quadriga_nant16_ibo0"
+                    f"_ebn0_min-5_max15_step2.00_niter1_2_3")
+        our_name = (f"ldpc_3_4_ber_vs_ebn0_{alg}_gscm_nant16_ibo0"
+                    f"_ebn0_min-5_max15_step2.00_niter1_2_3")
+        if not os.path.exists(f"{OD}/{our_name}.csv"):
+            print(f"  coded-gscm {alg}: ours not produced yet — skipped")
+            continue
+        ours, ref = load(f"{OD}/{our_name}.csv"), load(f"{RD}/{ref_name}.csv")
+        pairs = [(1, 1, "clean"), (2, 2, "it0"), (5, 5, "it3")]
+        worst = row_ratios(ours, ref, pairs, floor=1e-3)
+        # GSCM substitute + surrogate LDPC tables: coded-cliff tolerance
+        ok_cq = worst <= np.log10(3.0)
+        print(f"  => coded quadriga {alg} (gscm channel, tol 3x): "
+              f"worst={worst:.4f} ({'OK' if ok_cq else 'FAIL'})")
+        ok &= ok_cq
+        LEDGER.add(ref_name + ".csv")
+
     print("== no_noise BER vs IBO (pure-distortion errors; rows "
           "[ibo, it0..it8]) ==")
     for alg, ebn0 in (("cnc", 15), ("mcnc", 18)):

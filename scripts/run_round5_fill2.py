@@ -1,0 +1,78 @@
+"""Round-5 TPU batch 2: perf measurements + coded GSCM arm.
+
+Runs after run_round5_fill.py (launch via the chain wrapper):
+  1. GSCM vs TDL throughput (VERDICT item 1 "within 1.5x" criterion)
+  2. MCNC roofline measurement (VERDICT item 3)
+  3. plain rate-3/4 coded run on the GSCM for the committed
+     ldpc_3_4_*_quadriga files (upgrades their N/A rule to a comparison)
+  4. bench.py (drift-proofed) to reconcile the README headline
+"""
+
+import importlib
+import json
+import os
+import subprocess
+import sys
+import time
+import traceback
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+OD = os.path.join(REPO, "figs", "csv_results")
+sys.path.insert(0, HERE)
+
+
+def job(desc, fn):
+    t0 = time.time()
+    print(f"\n=== {desc} ===", flush=True)
+    try:
+        fn()
+        print(f"=== done ({time.time() - t0:.0f}s) ===", flush=True)
+    except Exception:
+        traceback.print_exc()
+        print(f"=== FAILED ({time.time() - t0:.0f}s) — continuing ===",
+              flush=True)
+
+
+def main():
+    if not os.path.exists(os.path.join(REPO, "figs", "profiling",
+                                       "gscm_throughput.json")):
+        job("gscm_throughput",
+            importlib.import_module("gscm_throughput").main)
+    if not os.path.exists(os.path.join(REPO, "figs", "profiling",
+                                       "mcnc_roofline.json")):
+        job("mcnc_roofline", importlib.import_module("mcnc_roofline").main)
+
+    from mimo_ofdm_tpu.experiments.ber_sweeps import transport_coded_ber
+    for alg in ("cnc", "mcnc"):
+        nm = (f"ldpc_3_4_ber_vs_ebn0_{alg}_gscm_nant16_ibo0"
+              f"_ebn0_min-5_max15_step2.00_niter1_2_3")
+        if os.path.exists(os.path.join(OD, nm + ".csv")):
+            continue
+        job(nm, lambda alg=alg: transport_coded_ber(
+            channel="gscm", algorithm=alg, n_ant=16, ibo_db=0.0, n_iters=3,
+            code_rate=0.75, rv=0, ldpc_iters=12, ldpc_algorithm="sumprod",
+            exact_payload=True, serial_decode=16,
+            csv_kind="ldpc_3_4_ber_vs_ebn0",
+            ebn0_min=-5.0, ebn0_max=15.0, ebn0_step=2.0,
+            n_err_min=20_000, bits_sent_max=10_000_000, batch=16,
+            verbose=True))
+
+    def run_bench():
+        out = subprocess.run([sys.executable,
+                              os.path.join(REPO, "bench.py")],
+                             capture_output=True, text=True, cwd=REPO)
+        print(out.stdout)
+        print(out.stderr[-2000:] if out.stderr else "")
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if line:
+            with open(os.path.join(REPO, "figs", "profiling",
+                                   "bench_r5_precheck.json"), "w") as f:
+                f.write(line[-1])
+
+    job("bench precheck", run_bench)
+    print("\nround5 fill2: all jobs processed", flush=True)
+
+
+if __name__ == "__main__":
+    main()
