@@ -583,3 +583,73 @@ def replot_alpha_per_ant_vs_ibo(n_ant: int = 64, ibo_db: float = 0.0,
     if show:
         plt.show()
     return fig, ax
+
+
+def replot_soft_limiter_tf(sat_pow: float = 25.0, save_path=None,
+                           show: bool = False):
+    """Soft-limiter transfer characteristic in signal *power* with the
+    P_max annotation ticks (``reference/msc_figures/soft_limiter_tf_char.py``
+    — a pure function plot, no saved data)."""
+    import numpy as np
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.ops.pa import soft_limiter
+
+    set_latex_plot_style()
+    amp = np.arange(0.0, 10.1, 0.1)
+    out = np.abs(np.asarray(soft_limiter(jnp.asarray(amp + 0j,
+                                                     jnp.complex64),
+                                         sat_pow)))
+    fig, ax = plt.subplots()
+    pm = np.sqrt(sat_pow)
+    ax.plot(amp, out, linewidth=2)
+    ax.set_xticks([0, pm])
+    ax.set_xticklabels(["0", r"$P_{\mathrm{max}}$"])
+    ax.set_yticks([0, pm])
+    ax.set_yticklabels(["0", r"$P_{\mathrm{max}}$"])
+    ax.set_title("Soft limiter transfer function")
+    ax.set_xlabel("Input signal power")
+    ax.set_ylabel("Output signal power")
+    ax.grid(True)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, ax
+
+
+def replot_mobile_growth_bars(save_path=None, show: bool = False):
+    """The thesis-intro industry-statistics bar charts
+    (``reference/msc_figures/whitepaper_figures.py``): mobile subscriber
+    and data-traffic projections from the public Ericsson mobility
+    report figures hardcoded by the reference."""
+    import numpy as np
+    import matplotlib.pyplot as plt
+
+    set_latex_plot_style()
+    years = np.arange(2021, 2028)
+    subs = np.array([6084.265, 6198.8, 6328.789, 6426.262, 6521.513,
+                     6612.575, 6698.486]) / 1000.0
+    traffic = np.array([67, 90, 115, 145, 179, 217, 257], float)
+
+    fig, axes = plt.subplots(1, 2, figsize=(9, 3.2))
+    axes[0].bar(years, subs, width=0.65, alpha=0.75)
+    axes[0].set_ylim([5.5, 7.0])
+    axes[0].set_title("Mobile subscribers")
+    axes[0].set_ylabel("Billions of mobile subscribers")
+    axes[0].set_xlabel("Year")
+    axes[1].bar(years, traffic, width=0.65, alpha=0.75,
+                color=CB_COLOR_CYCLE[1])
+    axes[1].set_title("Global mobile data traffic")
+    axes[1].set_ylabel("Exabytes per month")
+    axes[1].set_xlabel("Year")
+    for ax in axes:
+        ax.set_axisbelow(True)
+        ax.grid(axis="y")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=600, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig, axes

@@ -55,6 +55,16 @@ ARMS = {
         alg="mcnc", scenario="uma_los", n_ant=8, ebn0=(5.0, 20.0, 1.0),
         ref="ber_vs_ebn0_mcnc_quadriga_nant8_ibo0_ebn0_min5_max20_"
             "step1.00_niter1_2_3_4_5_6_7_8.csv"),
+    # scenario-identification arm: the reference's MisoQuadrigaFd names
+    # every scenario "quadriga" (reference/channel.py:446-447), so its
+    # LOS and NLOS runs overwrite the SAME CSV; the committed cnc_nant8
+    # file mismatches the LOS hypothesis (deep medians ~0.26) while
+    # mcnc_nant8 matches LOS (0.97-1.03) — test whether cnc_nant8 is the
+    # surviving NLOS run
+    "cnc_nant8_nlos": dict(
+        alg="cnc", scenario="uma_nlos", n_ant=8, ebn0=(5.0, 20.0, 1.0),
+        ref="ber_vs_ebn0_cnc_quadriga_nant8_ibo0_ebn0_min5_max20_"
+            "step1.00_niter1_2_3_4_5_6_7_8.csv"),
 }
 
 ROWS = ((1, "clean"), (2, "it0"), (4, "it2"), (7, "it5"), (10, "it8"))

@@ -43,6 +43,15 @@ def main():
                                        "mcnc_roofline.json")):
         job("mcnc_roofline", importlib.import_module("mcnc_roofline").main)
 
+    # scenario identification for the committed cnc_quadriga_nant8 file
+    gc = importlib.import_module("gscm_compare")
+    done = {}
+    if os.path.exists(gc.OUT):
+        done = json.load(open(gc.OUT))
+    if "cnc_nant8_nlos" in gc.ARMS and "cnc_nant8_nlos" not in done:
+        job("gscm arm cnc_nant8_nlos",
+            lambda: gc.main_arms(["cnc_nant8_nlos"]))
+
     from mimo_ofdm_tpu.experiments.ber_sweeps import transport_coded_ber
     for alg in ("cnc", "mcnc"):
         nm = (f"ldpc_3_4_ber_vs_ebn0_{alg}_gscm_nant16_ibo0"

@@ -274,3 +274,17 @@ def test_replot_berin_berout_and_alpha_per_ant(tmp_path):
     fig, _ = replot.replot_alpha_per_ant_vs_ibo(
         n_ant, 0.0, results_dir=tmp_path, save_path=tmp_path / "al.png")
     assert (tmp_path / "al.png").exists()
+
+
+def test_replot_msc_styles(tmp_path):
+    """The msc_figures-only styles (soft-limiter TF, industry bars)
+    render (the remaining msc styles duplicate final_plots layouts
+    already covered above)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from mimo_ofdm_tpu.utils import replot
+
+    replot.replot_soft_limiter_tf(save_path=tmp_path / "tf.png")
+    assert (tmp_path / "tf.png").exists()
+    replot.replot_mobile_growth_bars(save_path=tmp_path / "bars.png")
+    assert (tmp_path / "bars.png").exists()
