@@ -475,8 +475,9 @@ def replot_berin_berout_vs_ibo(chan_name: str = "los", n_ant: int = 64,
     against ``BER[iter i]`` from the ``ber_vs_ibo_{cnc,mcnc}_*`` grids
     (CNC solid, MCNC dashed), log-log with equal aspect and the
     no-gain diagonal. ``ebn0`` 1000 is the reference's label for the
-    no-noise arm (``no_noise_`` CSV prefix,
-    ``ber_vs_ibo_cnc_los_nant64_ebn0_1000_*``)."""
+    effectively-noise-free arm (the noise scale underflows to 0;
+    ``ber_vs_ibo_cnc_los_nant64_ebn0_1000_*`` — no ``no_noise_`` prefix,
+    matching the committed filenames)."""
     import matplotlib.lines as mlines
     import matplotlib.patches as mpatches
     import matplotlib.pyplot as plt
@@ -496,8 +497,6 @@ def replot_berin_berout_vs_ibo(chan_name: str = "los", n_ant: int = 64,
         for alg, style in (("cnc", "-"), ("mcnc", "--")):
             fname = results.ber_vs_ibo_filename(alg, chan_name, n_ant,
                                                 ebn0, ibo_arr, iters)
-            if ebn0 >= 999:
-                fname = "no_noise_" + fname
             _, ber = results.load_ber_sweep(fname, **kw)
             # rows: iteration 0..n_iters (no clean row in the vs-IBO layout)
             color_idx = 2  # reference starts its color cycle at index 2
@@ -592,14 +591,12 @@ def replot_soft_limiter_tf(sat_pow: float = 25.0, save_path=None,
     — a pure function plot, no saved data)."""
     import numpy as np
     import matplotlib.pyplot as plt
-    import jax.numpy as jnp
-    from mimo_ofdm_tpu.ops.pa import soft_limiter
 
     set_latex_plot_style()
     amp = np.arange(0.0, 10.1, 0.1)
-    out = np.abs(np.asarray(soft_limiter(jnp.asarray(amp + 0j,
-                                                     jnp.complex64),
-                                         sat_pow)))
+    # numpy re-statement of ops.pa.soft_limiter's amplitude clip (eager
+    # complex ops fail on the axon TPU backend; this is a plot-only path)
+    out = np.where(amp ** 2 <= sat_pow, amp, np.sqrt(sat_pow))
     fig, ax = plt.subplots()
     pm = np.sqrt(sat_pow)
     ax.plot(amp, out, linewidth=2)

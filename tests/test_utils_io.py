@@ -252,10 +252,10 @@ def test_replot_berin_berout_and_alpha_per_ant(tmp_path):
     ibo = np.arange(-9.0, 9.5, 0.5)
 
     # ber_vs_ibo grids for cnc+mcnc at ebn0 15 and the no-noise arm
-    for ebn0, prefix in ((15.0, ""), (1000.0, "no_noise_")):
+    for ebn0 in (15.0, 1000.0):
         for alg in ("cnc", "mcnc"):
-            fname = prefix + results.ber_vs_ibo_filename(alg, "los", 8,
-                                                         ebn0, ibo, iters)
+            fname = results.ber_vs_ibo_filename(alg, "los", 8,
+                                                ebn0, ibo, iters)
             results.save_to_csv(
                 [ibo] + [np.sort(rng.uniform(1e-5, 3e-1, len(ibo)))[::-1]
                          for _ in range(9)],
