@@ -67,6 +67,56 @@ def main():
             n_err_min=20_000, bits_sent_max=10_000_000, batch=16,
             verbose=True))
 
+    def cnc_batch_probe():
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import time as _t
+        from mimo_ofdm_tpu.utils.config import (canonical_miso_cnc,
+                                                ChannelConfig)
+        from mimo_ofdm_tpu.models.link import make_round_fn
+        cfg, _ = canonical_miso_cnc()
+        cfg = cfg.replace(channel=ChannelConfig(model="rayleigh"))
+        key = jax.random.key(0)
+        snr = jnp.float32(15.0)
+
+        def consume(c):
+            return int(np.asarray(c.clean_err)) + int(np.asarray(c.dist_err)[0])
+
+        fns = {}
+        for b in (768, 1024, 1536, 2048):
+            fn = make_round_fn(cfg, n_iters=8, batch=b)
+            consume(fn(key, snr))
+            for i in range(2):
+                consume(fn(jax.random.fold_in(key, i), snr))
+            fns[b] = fn
+        wins = {b: [] for b in fns}
+        for w in range(4):
+            for b, fn in fns.items():
+                t0 = _t.perf_counter()
+                n = 0
+                pend = []
+                for _ in range(2):
+                    pend.append(fn(jax.random.fold_in(key, 100 * w + n), snr))
+                    n += 1
+                while _t.perf_counter() - t0 < 2.0:
+                    pend.append(fn(jax.random.fold_in(key, 100 * w + n), snr))
+                    n += 1
+                    consume(pend.pop(0))
+                for p in pend:
+                    consume(p)
+                wins[b].append(n * b / (_t.perf_counter() - t0))
+        med = {b: float(__import__("numpy").median(v))
+               for b, v in wins.items()}
+        print("CNC batch medians:", med, flush=True)
+        with open(os.path.join(REPO, "figs", "profiling",
+                               "cnc_batch_probe.json"), "w") as f:
+            json.dump({"windows": {str(k): v for k, v in wins.items()},
+                       "medians": {str(k): v for k, v in med.items()}}, f,
+                      indent=1)
+
+    job("cnc batch probe", cnc_batch_probe)
+
     def run_bench():
         out = subprocess.run([sys.executable,
                               os.path.join(REPO, "bench.py")],
