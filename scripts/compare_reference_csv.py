@@ -455,6 +455,31 @@ def main():
               f"tol {tol}x): worst={worst:.4f} ({'OK' if ok_nv else 'FAIL'})")
         ok &= ok_nv
 
+    print("== random-paths variant grids (generator script absent; "
+          "params inferred from the name: {n}_paths x {100n|1u} max "
+          "delay; our channel reproduces the reference's exact path "
+          "formula incl. its sin(angle/c) idiom) ==")
+    for alg in ("cnc", "mcnc"):
+        for np_, tag in ((3, "100n"), (3, "1u"), (8, "100n"), (8, "1u")):
+            name = (f"ber_vs_ebn0_{alg}_random_paths{np_}_{tag}_nant16"
+                    f"_ibo0_ebn0_min5_max25_step1.00_{iters9}")
+            ours, ref = maybe(name)
+            if ours:
+                tight = row_ratios(ours, ref,
+                                   [(1, 1, "clean"), (2, 2, "it0")],
+                                   floor=5e-4)
+                deep = row_ratios(ours, ref,
+                                  [(2 + it, 2 + it, f"it{it}")
+                                   for it in (2, 5, 8)], floor=5e-4)
+                # clean/it0 validate the channel statistics tightly; the
+                # deep-iteration tail inherits the inferred-params /
+                # per-worker-shared-rng uncertainty of this lost config
+                ok_rp = tight <= np.log10(1.25) and deep <= np.log10(2.5)
+                print(f"  => random_paths{np_}_{tag} {alg}: clean/it0 "
+                      f"worst={tight:.3f} deep worst={deep:.3f} "
+                      f"({'OK' if ok_rp else 'FAIL'})")
+                ok &= ok_rp
+
     print("== plain coded Quadriga arm (rate 3/4 via the native GSCM) ==")
     for alg in ("cnc", "mcnc"):
         ref_name = (f"ldpc_3_4_ber_vs_ebn0_{alg}_quadriga_nant16_ibo0"
