@@ -26,6 +26,15 @@ import sys
 
 import numpy as np
 
+# this script only reads CSVs and evaluates tiny closed forms — force the
+# CPU backend BEFORE any jax-backed helper import so a comparator run
+# never opens (or wedges) the axon TPU tunnel
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 RD = "/root/reference/figs/csv_results"
 OD = "figs/csv_results"
 
@@ -258,16 +267,19 @@ def main():
         return None, None
 
     print("== BER vs n_ant (rows [nant, 3 chan x (clean + it0..it8)]) ==")
-    name = f"ber_vs_nant_cnc_nant1_2_4_8_16_32_64_128_ebn0_15_ibo0_{iters9}"
-    ours, ref = maybe(name)
-    if ours:
-        pairs = []
-        for ci, chan in enumerate(("los", "two_path", "rayleigh")):
-            base = 1 + ci * 10
-            for it in (0, 2, 8):
-                pairs.append((base + 1 + it, base + 1 + it,
-                              f"{chan} it{it}"))
-        ok &= check("ber_vs_nant", row_ratios(ours, ref, pairs, floor=5e-4))
+    for alg in ("cnc", "mcnc"):
+        name = (f"ber_vs_nant_{alg}_nant1_2_4_8_16_32_64_128_ebn0_15"
+                f"_ibo0_{iters9}")
+        ours, ref = maybe(name)
+        if ours:
+            pairs = []
+            for ci, chan in enumerate(("los", "two_path", "rayleigh")):
+                base = 1 + ci * 10
+                for it in (0, 2, 8):
+                    pairs.append((base + 1 + it, base + 1 + it,
+                                  f"{chan} it{it}"))
+            ok &= check(f"ber_vs_nant {alg}",
+                        row_ratios(ours, ref, pairs, floor=5e-4))
 
     print("== TOI PA curves (rows [ebn0, clean, it0..it8]) ==")
     # Only the clean rows are comparable: the reference's TOI handling is
