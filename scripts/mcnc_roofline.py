@@ -97,7 +97,7 @@ def main():
     ceiling = None
     if os.path.exists(probe_path):
         with open(probe_path) as f:
-            ceiling = json.load(f).get("best_gbps")
+            ceiling = json.load(f).get("stream_gbps")
 
     # --- batch sweep at n_iters 8 ---
     batches = [256, 384, 512, 640, 768, 1024]
