@@ -789,9 +789,10 @@ def ledger_report():
     (structural check: row count + param grid), or justified N/A.
     Anything else fails."""
     all_files = sorted(os.listdir(RD))
+    curated = set(LEDGER)   # snapshot: structural-check loads below also
     same_name, na, missing = [], [], []
     for f in all_files:
-        if f in LEDGER:
+        if f in curated:
             continue
         if os.path.exists(os.path.join(OD, f)):
             same_name.append(f)
@@ -820,7 +821,7 @@ def ledger_report():
             print(f"  GRID MISMATCH {f}")
             ok = False
         checked += 1
-    print(f"  curated-compared: {len(LEDGER & set(all_files))}")
+    print(f"  curated-compared: {len(curated & set(all_files))}")
     print(f"  same-name reproduction produced (param grids verified): "
           f"{checked}")
     reasons = {}
