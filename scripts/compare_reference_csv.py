@@ -522,17 +522,22 @@ def main():
             ok &= check(f"no_noise {alg}",
                         row_ratios(ours, ref, pairs, floor=5e-4))
 
-    print("== CSI-error eps curves (representative eps 0.1, rows "
+    print("== CSI-error eps curves (every produced eps, rows "
           "[ebn0, clean, it0..it8]) ==")
-    for alg in ("cnc", "mcnc"):
-        name = (f"ber_vs_ebn0_{alg}_los_csi_eps0.100_nant64_ibo0"
-                f"_ebn0_min5_max20_step1.00_{iters9}")
-        ours, ref = maybe(name)
-        if ours:
-            pairs = [(1, 1, "clean")] + [(2 + it, 2 + it, f"it{it}")
-                                         for it in (0, 2, 5, 8)]
-            ok &= check(f"csi_eps0.1 {alg}",
-                        row_ratios(ours, ref, pairs, floor=5e-4))
+    import glob as _glob
+    for path in sorted(_glob.glob(
+            f"{RD}/ber_vs_ebn0_*_csi_eps*_nant64_ibo0_ebn0_min5_max20"
+            f"_step*_{iters9}.csv")):
+        name = os.path.basename(path)[:-4]
+        if "quadriga" in name or not os.path.exists(f"{OD}/{name}.csv"):
+            continue
+        ours, ref = load(f"{OD}/{name}.csv"), load(path)
+        pairs = [(1, 1, "clean")] + [(2 + it, 2 + it, f"it{it}")
+                                     for it in (0, 2, 5, 8)]
+        label = name.split("_nant")[0].replace("ber_vs_ebn0_", "")
+        if "step0.50" in name:
+            label += " (step0.5)"
+        ok &= check(label, row_ratios(ours, ref, pairs, floor=5e-4))
 
     ok &= gscm_evidence()
     ok &= alpha_evidence()
