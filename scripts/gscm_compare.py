@@ -77,16 +77,21 @@ def run_arm(name, spec, channel_kwargs, n_err_min=100_000,
     ref = [np.array([float(x) for x in r])
            for r in csv.reader(open(os.path.join(RD, spec["ref"])))]
     e0, e1, es = spec["ebn0"]
+    n_iters = spec.get("n_iters", 8)
     res = miso_ber_vs_ebn0(
         channels=("gscm",), algorithm=spec["alg"],
         n_ant=spec.get("n_ant", 64), ibo_db=0.0,
-        n_iters=8, ebn0_min=e0, ebn0_max=e1, ebn0_step=es,
+        n_iters=n_iters, ebn0_min=e0, ebn0_max=e1, ebn0_step=es,
         n_err_min=n_err_min, bits_sent_max=bits_sent_max, batch=64,
         channel_kwargs=channel_kwargs, save_csv=False, verbose=True)
-    ber = res["gscm"].ber_matrix          # [10, n_pts]: clean + it0..it8
+    ber = res["gscm"].ber_matrix          # [n_iters+2, n_pts]: clean + it0..
     meds = {}
     cells = {}
-    for row, label in ROWS:
+    rows = [(r, lab) for r, lab in ROWS if r <= n_iters + 2]
+    if n_iters < 8 and all(r != n_iters + 2 for r, _ in rows):
+        # shallow committed files: include the deepest available tap
+        rows += [(n_iters + 2, f"it{n_iters}")]
+    for row, label in rows:
         o, f = ber[row - 1], ref[row]
         m = (o > 5e-4) & (f > 5e-4)
         meds[label] = float(np.median(o[m] / f[m])) if m.any() else None
