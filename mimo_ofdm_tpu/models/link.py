@@ -243,9 +243,13 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
             # h), so the [n_ant, n_sc] precoded array is never materialized
             # (and under antenna sharding the propagate psum is saved too).
             sym_c = transmit.modulate_users(bits_c, m, dtype)
-            if cfg.csi_epsilon:
+            if cfg.csi_epsilon or cfg.csi_snr_db is not None:
                 # propagation uses the TRUE channel; the AGC vector is built
                 # from the noisy h_pre, so combine h o v separately here
+                # (both CSI-error models; the committed csi_noise_db
+                # clean rows exposed this — reference/mp_model.py:136-175
+                # propagates the clean run through the true channel while
+                # equalizing with the noisy-CSI AGC)
                 hv_true = channels.propagate(h_sc, v,
                                              ant_axis_name=ant_axis_name)
             else:

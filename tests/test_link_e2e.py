@@ -161,3 +161,20 @@ def test_run_sweep_pipelined_matches_run_point():
                                batch=8, n_err_min=500, bits_sent_max=150_000)
     for a, b in zip(pts, pts2):
         np.testing.assert_array_equal(a.n_err, b.n_err)
+
+
+def test_csi_noise_clean_run_uses_true_channel():
+    """Legacy additive-CSI-noise model (csi_snr_db): the clean run must
+    propagate through the TRUE channel while equalizing with the
+    noisy-CSI AGC (reference/mp_model.py:136-175) — at effectively
+    infinite thermal SNR the clean BER is then CSI-limited, not zero.
+    Regression for the committed csi_noise_db clean rows."""
+    import jax.numpy as jnp
+    from mimo_ofdm_tpu.utils.config import PaConfig
+
+    cfg = small_cfg(channel=ChannelConfig(model="rayleigh"),
+                    rx=RxConfig(algorithm="none"),
+                    pa=PaConfig(model="none", ibo_db=0.0),
+                    csi_snr_db=5.0)
+    c = make_round_fn(cfg, 1, 64)(jax.random.key(0), jnp.float32(60.0))
+    assert int(np.asarray(c.clean_err)) > 100
