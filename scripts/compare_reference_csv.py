@@ -471,10 +471,17 @@ def main():
           "params inferred from the name: {n}_paths x {100n|1u} max "
           "delay; our channel reproduces the reference's exact path "
           "formula incl. its sin(angle/c) idiom) ==")
-    for alg in ("cnc", "mcnc"):
-        for np_, tag in ((3, "100n"), (3, "1u"), (8, "100n"), (8, "1u")):
-            name = (f"ber_vs_ebn0_{alg}_random_paths{np_}_{tag}_nant16"
-                    f"_ibo0_ebn0_min5_max25_step1.00_{iters9}")
+    rp_files = [(alg, f"ber_vs_ebn0_{alg}_random_paths{np_}_{tag}_nant16"
+                      f"_ibo0_ebn0_min5_max25_step1.00_{iters9}",
+                 f"random_paths{np_}_{tag}")
+                for alg in ("cnc", "mcnc")
+                for np_, tag in ((3, "100n"), (3, "1u"),
+                                 (8, "100n"), (8, "1u"))]
+    rp_files.append(("mcnc", "ber_vs_ebn0_mcnc_random_paths_nant4_ibo0"
+                             f"_ebn0_min5_max20_step1.00_{iters9}",
+                     "random_paths nant4"))
+    for alg, name, rp_label in rp_files:
+        if True:
             ours, ref = maybe(name)
             if ours:
                 tight = row_ratios(ours, ref,
@@ -487,7 +494,7 @@ def main():
                 # deep-iteration tail inherits the inferred-params /
                 # per-worker-shared-rng uncertainty of this lost config
                 ok_rp = tight <= np.log10(1.25) and deep <= np.log10(2.5)
-                print(f"  => random_paths{np_}_{tag} {alg}: clean/it0 "
+                print(f"  => {rp_label} {alg}: clean/it0 "
                       f"worst={tight:.3f} deep worst={deep:.3f} "
                       f"({'OK' if ok_rp else 'FAIL'})")
                 ok &= ok_rp
