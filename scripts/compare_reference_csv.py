@@ -567,6 +567,27 @@ def main():
             n_pairs += 1
         return worst, n_pairs
 
+    # Committed files contradicted by the reference's OWN other committed
+    # data at the same operating point — earlier-code-state artifacts.
+    # Evidence (measured in-session, Eb/N0 15 dB): the reference's
+    # ber_vs_nant_{alg} files give nant4 LOS/two-path it0..it3 =
+    # 0.0896/0.0549/0.0389/0.0278, matched by OUR max25 reproductions to
+    # 3-4 digits, while the committed *_nant4_*max25 files hold
+    # 0.0847/0.0473/0.0284/0.0156; the cnc nant16 min15_max20_niter1
+    # partial holds it0=0.109, it1=0.163 (a *diverging* CNC) where
+    # ber_vs_nant (nant16 LOS) and our run agree on 0.0897/0.0549.
+    ARTIFACTS = {
+        "ber_vs_ebn0_cnc_los_nant4_ibo0_ebn0_min5_max25_step1.00_"
+        "niter1_2_3_4_5_6_7_8",
+        "ber_vs_ebn0_cnc_two_path_nant4_ibo0_ebn0_min5_max25_step1.00_"
+        "niter1_2_3_4_5_6_7_8",
+        "ber_vs_ebn0_mcnc_los_nant4_ibo0_ebn0_min5_max25_step1.00_"
+        "niter1_2_3_4_5_6_7_8",
+        "ber_vs_ebn0_mcnc_two_path_nant4_ibo0_ebn0_min5_max25_step1.00_"
+        "niter1_2_3_4_5_6_7_8",
+        "ber_vs_ebn0_cnc_los_nant16_ibo0_ebn0_min15_max20_step1.00_niter1",
+    }
+
     n_gen, worst_gen, worst_name = 0, 0.0, ""
     for path in sorted(_glob2.glob(f"{RD}/ber_vs_ebn0_*.csv")
                        + _glob2.glob(f"{RD}/ber_vs_ibo_*.csv")):
@@ -575,6 +596,12 @@ def main():
                 or "quadriga" in name or "38.901" in name
                 or "random_paths" in name     # curated (deep-tail tol)
                 or not os.path.exists(f"{OD}/{name}.csv")):
+            continue
+        if name in ARTIFACTS:
+            print(f"  {name}: lost-config artifact — contradicted by the "
+                  f"reference's own ber_vs_nant data at the same operating "
+                  f"point, which OUR reproduction matches to 3-4 digits "
+                  f"(see comment above)")
             continue
         ours, ref = load(f"{OD}/{name}.csv"), load(f"{RD}/{name}.csv")
         best = None
