@@ -345,8 +345,9 @@ def main():
         o = np.argsort(lb)
         return float(np.interp(np.log10(target), lb[o], e[o]))
 
-    for rate in ("1_2", "1_3", "2_3", "3_4", "7_8"):
-        name = (f"ldpc_{rate}_ber_vs_ebn0_cnc_los_nant16_ibo0"
+    for alg in ("cnc", "mcnc"):
+      for rate in ("1_2", "1_3", "2_3", "3_4", "7_8"):
+        name = (f"ldpc_{rate}_ber_vs_ebn0_{alg}_los_nant16_ibo0"
                 f"_ebn0_min-5_max15_step2.00_niter1_2_3")
         if not os.path.exists(f"{OD}/{name}.csv"):
             print(f"  {name}: ours not produced yet — skipped")
@@ -364,13 +365,13 @@ def main():
                 if np.isfinite(co) and np.isfinite(cr):
                     break
             d = co - cr if np.isfinite(co) and np.isfinite(cr) else np.nan
-            print(f"    rate {rate} {label}: cliff@{target:.0e} "
+            print(f"    rate {rate} {alg} {label}: cliff@{target:.0e} "
                   f"ours={co:.2f} ref={cr:.2f} delta={d:+.2f} dB")
             if np.isfinite(d):
                 deltas.append(abs(d))
         # surrogate protograph: cliff within ~1.5 dB of the true-table code
         ok_ldpc = bool(deltas) and max(deltas) <= 1.5
-        print(f"  => ldpc_{rate}: {'OK' if ok_ldpc else 'FAIL'} "
+        print(f"  => ldpc_{rate} {alg}: {'OK' if ok_ldpc else 'FAIL'} "
               f"(max |delta| {'%.2f' % max(deltas) if deltas else 'n/a'} dB, "
               f"tol 1.5)")
         ok &= ok_ldpc
