@@ -643,6 +643,7 @@ def main():
           f"{10 ** worst_gen:.3f} ({worst_name})")
 
     ok &= gscm_evidence()
+    ok &= quadriga_csi_evidence()
     ok &= alpha_evidence()
     ok &= sdr_quadriga_evidence()
     ok &= legacy_sdr_evidence()
@@ -705,6 +706,31 @@ def gscm_evidence():
                   f" identified)")
         ok &= f_ok
         LEDGER.add(ref)
+    return ok
+
+
+def quadriga_csi_evidence():
+    """Joint (Quadriga channel x CSI-error) representative: eps 0.1 on
+    the native GSCM vs the committed quadriga_csi_eps0.100 files
+    (figs/profiling/quadriga_csi_gscm.json from
+    scripts/run_round5_fill7.py)."""
+    import json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "figs", "profiling", "quadriga_csi_gscm.json")
+    print("== Quadriga-CSI representative (eps 0.1 on the GSCM) ==")
+    if not os.path.exists(path):
+        print("  quadriga_csi_gscm.json not produced yet — skipped")
+        return True
+    with open(path) as f:
+        ev = json.load(f)
+    ok = True
+    for alg, rec in ev.items():
+        meds = [v for v in rec["medians"].values() if v is not None]
+        a_ok = bool(meds) and all(0.8 <= v <= 1.25 for v in meds)
+        print(f"  {alg}: medians {rec['medians']} -> "
+              f"{'OK' if a_ok else 'FAIL'}")
+        ok &= a_ok
+        LEDGER.add(rec["ref"])
     return ok
 
 
@@ -811,10 +837,10 @@ NA_RULES = [
      "values re-run the same tested estimator path "
      "(tests/test_link_e2e.py)"),
     (r"ber_vs_ebn0_(cnc|mcnc)_quadriga_csi_eps",
-     "CSI-error eps on the Quadriga arm: the channel itself is compared "
-     "via the native GSCM (gscm_evidence above) and the eps machinery "
-     "via the LOS eps-0.1 comparison; joint variants re-run the same "
-     "two tested paths"),
+     "CSI-error eps on the Quadriga arm: the joint representative "
+     "(eps 0.1 on the GSCM, both algorithms) is compared in "
+     "quadriga_csi_evidence at medians 0.94-1.01; other eps values "
+     "re-run the same two tested paths"),
     (r"ber_vs_ebn0_(cnc|mcnc)_3GPP_38\.901_UMa_(LOS|NLOS)_nant64_ibo0"
      r"_ebn0_min10_max20",
      "denser/subset Eb/N0 window (min10, step 0.5/1.0) of the compared "
