@@ -376,10 +376,12 @@ def main():
               f"tol 1.5)")
         ok &= ok_ldpc
 
-    print("== nant64 coded representative (rate 1/2, niter 8) ==")
-    nm64 = ("ldpc_1_2_ber_vs_ebn0_cnc_los_nant64_ibo0"
-            "_ebn0_min-5_max15_step1.00_niter1_2_3_4_5_6_7_8")
-    if os.path.exists(f"{OD}/{nm64}.csv"):
+    print("== nant64 coded grids (niter 8, step-1 windows) ==")
+    for rate64, win64 in (("1_2", "min-5_max15"), ("1_3", "min-5_max10"),
+                          ("2_3", "min0_max20"), ("3_4", "min0_max20")):
+      nm64 = (f"ldpc_{rate64}_ber_vs_ebn0_cnc_los_nant64_ibo0"
+              f"_ebn0_{win64}_step1.00_niter1_2_3_4_5_6_7_8")
+      if os.path.exists(f"{OD}/{nm64}.csv"):
         ours, ref = load(f"{OD}/{nm64}.csv"), load(f"{RD}/{nm64}.csv")
         deltas = []
         for ctr, label in ((1, "clean"), (2, "it0"), (6, "it4"),
@@ -391,16 +393,16 @@ def main():
                 if np.isfinite(co) and np.isfinite(cr):
                     break
             d = co - cr if np.isfinite(co) and np.isfinite(cr) else np.nan
-            print(f"    nant64 r1/2 {label}: cliff@{target:.0e} "
+            print(f"    nant64 r{rate64} {label}: cliff@{target:.0e} "
                   f"ours={co:.2f} ref={cr:.2f} delta={d:+.2f} dB")
             if np.isfinite(d):
                 deltas.append(abs(d))
         ok_64 = bool(deltas) and max(deltas) <= 1.5
-        print(f"  => ldpc_1_2 nant64: {'OK' if ok_64 else 'FAIL'} "
+        print(f"  => ldpc_{rate64} nant64: {'OK' if ok_64 else 'FAIL'} "
               f"(max |delta| {'%.2f' % max(deltas) if deltas else 'n/a'} "
               f"dB, tol 1.5)")
         ok &= ok_64
-    else:
+      else:
         print(f"  {nm64}: ours not produced yet — skipped")
 
     print("== 3-user MU radiation pattern (nant128 npoints1800 — the "
