@@ -931,10 +931,10 @@ NA_RULES = [
      "IBO-window/step variant of the compared 0..9-step-0.5 grid at the "
      "same config"),
     (r"ldpc_\d_\d_ber_vs_ebn0_(cnc|mcnc)_los_nant(16|64)_",
-     "grid variant of the compared per-rate coded family (all 5 rates "
-     "compared for BOTH algorithms at nant16, plus the nant64 niter-8 "
-     "rate-1/2 representative at 0.03-0.75 dB cliff deltas; remaining "
-     "files are denser-grid duplicates of those exact configs)"),
+     "0.25-dB-step duplicate of a compared coded grid (all 5 rates "
+     "compared for BOTH algorithms at nant16 and all four committed "
+     "nant64 step-1 niter-8 grids compared at 0.40-0.75 dB cliff "
+     "deltas; these four files only densify those exact configs)"),
     (r"ldpc_\d_\d_ber_vs_ebn0_(cnc|mcnc)_quadriga_",
      "coded Quadriga arm: the coded chain is compared on the committed "
      "LOS rates and the channel via the native GSCM; the nvadj_* "
