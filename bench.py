@@ -59,6 +59,13 @@ def main():
     import numpy as np
     import jax.numpy as jnp
 
+    # persistent compile cache: the measured windows are unaffected
+    # (warmup is untimed) but a repeat bench process skips the ~15-60 s
+    # per-arm XLA compiles (utils/compile_cache.py; 15.5 s -> 2.9 s
+    # first-call measured for the CNC arm)
+    from mimo_ofdm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from mimo_ofdm_tpu.utils.config import (canonical_miso_cnc, ChannelConfig,
                                             RxConfig)
     from mimo_ofdm_tpu.models.link import make_round_fn

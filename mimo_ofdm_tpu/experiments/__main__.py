@@ -49,6 +49,9 @@ def run_grid(specs: list, stop_on_error: bool = False) -> int:
 
 
 def main(argv=None):
+    # compile once per machine, not once per process (utils/compile_cache)
+    from mimo_ofdm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m mimo_ofdm_tpu.experiments <name> [--key value ...]")
