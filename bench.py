@@ -71,19 +71,28 @@ def main():
     from mimo_ofdm_tpu.models.link import make_round_fn
 
     n_iters = 8
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # batch 768 beats 1024 by 6.4% (16,387 vs 15,387 frames/s interleaved
+    # medians — the round-4 sequential sweep could not resolve this inside
+    # the tunnel drift band; figs/profiling/batch_ab.json) and beats the
+    # 640/896 neighbours
+    batch = int(os.environ.get("BENCH_BATCH", "768"))
     cfg, _ = canonical_miso_cnc()
     cfg = cfg.replace(channel=ChannelConfig(model="rayleigh"))
 
-    round_fn = make_round_fn(cfg, n_iters=n_iters, batch=batch)
+    # flat=True: the round returns ONE pre-packed counter vector so the
+    # consume below is a single tunnel round-trip — separate per-field
+    # fetches cost one round-trip each, which at batch 768 (47 ms rounds)
+    # made the host the bottleneck (15.2k vs 16.4k frames/s measured,
+    # figs/profiling/consume_ab.json)
+    round_fn = make_round_fn(cfg, n_iters=n_iters, batch=batch, flat=True)
     key = jax.random.key(0)
     snr = jnp.float32(15.0)
 
     def consume(c):
-        # fetch the counters to host: forces real device sync (the axon
-        # backend's block_until_ready does not) and matches how the
+        # fetch the packed counters to host: forces real device sync (the
+        # axon backend's block_until_ready does not) and matches how the
         # Monte-Carlo driver consumes rounds
-        return int(np.asarray(c.clean_err)) + int(np.asarray(c.dist_err)[0])
+        return int(np.asarray(c)[0])
 
     # depth-3 pipelined rounds, matching parallel.montecarlo.run_point:
     # two rounds stay in flight while round k's host fetch (a tunnel
@@ -99,7 +108,8 @@ def main():
         # and 2.0k at 1024 — the 8 live replica chains raise HBM pressure)
         mcnc_batch = int(os.environ.get("BENCH_MCNC_BATCH", "512"))
         mcnc_round = make_round_fn(cfg.replace(rx=RxConfig(algorithm="mcnc")),
-                                   n_iters=n_iters, batch=mcnc_batch)
+                                   n_iters=n_iters, batch=mcnc_batch,
+                                   flat=True)
         arms.append(("mcnc", mcnc_round, mcnc_batch, 30_000))
 
     # compile + warmup each arm: a few untimed pipelined rounds bring the

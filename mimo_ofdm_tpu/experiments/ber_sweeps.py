@@ -283,7 +283,8 @@ def miso_ber_vs_ibo(channel="los", algorithm="cnc", n_ant=64, ebn0_db=15.0,
     snr = (np.inf if no_noise
            else ebn0_to_snr(ebn0_db, cfg.modem.n_sub_carr,
                             cfg.modem.n_sub_carr, cfg.modem.constel_size))
-    round_fn = make_round_fn(cfg, n_iters, batch, ibo_as_arg=True)
+    round_fn = make_round_fn(cfg, n_iters, batch, ibo_as_arg=True,
+                             flat=True)
     # one point per IBO value through the pipelined scheduler (snr fixed)
     rf = lambda key, ibo: round_fn(key, float(snr), ibo)
     pts = run_sweep_pipelined(
@@ -334,7 +335,7 @@ def miso_ber_vs_nant(channels=("los", "two_path", "rayleigh"), algorithm="cnc",
                                rx=RxConfig(algorithm=algorithm))
             snr = ebn0_to_snr(ebn0_db, cfg.modem.n_sub_carr, cfg.modem.n_sub_carr,
                               cfg.modem.constel_size)
-            round_fn = make_round_fn(cfg, n_iters, batch)
+            round_fn = make_round_fn(cfg, n_iters, batch, flat=True)
             pt = run_point(round_fn,
                            jax.random.fold_in(jax.random.key(seed),
                                               1000 * ci + i),
@@ -422,7 +423,7 @@ def req_ebn0_vs_ibo(channel="two_path", algorithm="cnc", n_ant=64,
     # ONE compiled executable for the whole (IBO x Eb/N0) grid: IBO is a
     # traced argument and the Eb/N0 axis runs through the cross-point
     # pipelined scheduler per IBO row
-    round_fn = make_round_fn(cfg, n_iters, batch, incl_clean=False,
+    round_fn = make_round_fn(cfg, n_iters, batch, incl_clean=False, flat=True,
                              ibo_as_arg=True)
     n_bits_frame = cfg.modem.n_bits_per_ofdm_sym
     for j, ibo in enumerate(ibo_arr):
@@ -468,7 +469,7 @@ def reproduce_reference_curve(ebn0_points=(10.0, 14.0, 18.0), n_err_min=2000,
     import csv as _csv
     import jax
     cfg, _ = canonical_miso_cnc()
-    round_fn = make_round_fn(cfg, 8, batch)
+    round_fn = make_round_fn(cfg, 8, batch, flat=True)
     rows = list(_csv.reader(open(ref_csv)))
     ref = [np.array([float(x) for x in r]) for r in rows]
     ebn0_ref = ref[0]

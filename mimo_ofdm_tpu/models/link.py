@@ -313,36 +313,54 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
 
 def make_round_fn(cfg: LinkConfig, n_iters: int, batch: int, *,
                   incl_clean: bool = True, reroll: bool = True,
-                  ibo_as_arg: bool = False, dtype=jnp.complex64):
+                  ibo_as_arg: bool = False, flat: bool = False,
+                  dtype=jnp.complex64):
     """Jitted Monte-Carlo round: ``round_fn(key, snr_db) -> FrameCounters``
     summed over a ``batch`` of independent frames (vmapped). This is the
     unit of work the host stop-criterion loop schedules — the batched
     replacement for the reference's per-frame shared-counter polling
     (``reference/mp_model.py:137,181``). With ``ibo_as_arg=True`` the
     round is ``round_fn(key, snr_db, ibo_db)`` with a traced IBO — one
-    compile for a whole IBO sweep (see :func:`make_frame_fn`)."""
+    compile for a whole IBO sweep (see :func:`make_frame_fn`).
+
+    With ``flat=True`` the round returns ONE int32 vector
+    ``[clean_err, dist_err[0..n_iters]]`` (the reference's shared-array
+    layout, ``reference/mp_model.py:132-134``) instead of the named
+    tuple. On the axon-tunneled TPU every separate host fetch is a
+    tunnel round-trip, and an extra eager packing dispatch costs about
+    one more — pre-packing *inside* the round executable makes the
+    driver's consume a single round-trip (measured at batch 768:
+    16,380 vs 15,237 vs 10,455 frames/s for one fetch / two fetches /
+    extra-dispatch packing, ``figs/profiling/consume_ab.json``)."""
     frame_fn = make_frame_fn(cfg, n_iters, incl_clean=incl_clean,
                              reroll=reroll, dtype=dtype,
                              ibo_as_arg=ibo_as_arg)
     tx_pos = link_static(cfg, dtype)[0]
 
+    def _sum(counters):
+        # int32 is ample for one round's error counts; the host accumulates
+        # across rounds in Python ints (TPU has no native int64).
+        c = jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
+                         counters)
+        if flat:
+            return jnp.concatenate([jnp.atleast_1d(c.clean_err),
+                                    jnp.ravel(c.dist_err)])
+        return c
+
     if ibo_as_arg:
         @jax.jit
-        def round_fn_ibo(key: Array, snr_db: Array, ibo_db: Array) -> FrameCounters:
+        def round_fn_ibo(key: Array, snr_db: Array, ibo_db: Array):
             keys = jax.random.split(key, batch)
             counters = jax.vmap(frame_fn, in_axes=(0, None, None, None))(
                 keys, snr_db, tx_pos, ibo_db)
-            return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
-                                counters)
+            return _sum(counters)
 
         return round_fn_ibo
 
     @jax.jit
-    def round_fn(key: Array, snr_db: Array) -> FrameCounters:
+    def round_fn(key: Array, snr_db: Array):
         keys = jax.random.split(key, batch)
         counters = jax.vmap(frame_fn, in_axes=(0, None, None))(keys, snr_db, tx_pos)
-        # int32 is ample for one round's error counts; the host accumulates
-        # across rounds in Python ints (TPU has no native int64).
-        return jax.tree.map(lambda x: jnp.sum(x, axis=0, dtype=jnp.int32), counters)
+        return _sum(counters)
 
     return round_fn

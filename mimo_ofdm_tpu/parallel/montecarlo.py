@@ -33,6 +33,28 @@ from mimo_ofdm_tpu.utils.config import LinkConfig, SweepConfig
 from mimo_ofdm_tpu.models.link import make_round_fn
 
 
+def _fetch_counters(counters) -> np.ndarray:
+    """Fetch one round's counters to the host with the MINIMUM number of
+    device round-trips; returns the flat int64 ``[n_counters]`` vector
+    (``[clean_err, dist_err...]`` — the layout of the reference's shared
+    arrays, ``reference/mp_model.py:132-134``).
+
+    On the axon-tunneled TPU every separate host fetch is a tunnel
+    round-trip and every *eager jit dispatch* costs about one more
+    (measured at batch 768, interleaved windows: single-array fetch
+    16,380 frames/s, two sequential fetches 15,237, an extra packing-jit
+    dispatch per round 10,455 — `figs/profiling/consume_ab.json`). So
+    rounds built with ``make_round_fn(..., flat=True)`` return ONE
+    pre-packed vector from inside the round executable (single fetch,
+    zero extra dispatch); named ``FrameCounters`` rounds remain supported
+    with the two-fetch path.
+    """
+    if isinstance(counters, jax.Array):
+        return np.asarray(counters).astype(np.int64)
+    return np.concatenate([np.atleast_1d(np.asarray(counters.clean_err)),
+                           np.asarray(counters.dist_err)]).astype(np.int64)
+
+
 @dataclass
 class PointResult:
     """Counters for one sweep point (e.g. one Eb/N0 value)."""
@@ -109,10 +131,9 @@ def run_point(round_fn, key, snr_db: float, *, n_counters: int,
         if not in_flight:
             break
         counters, mask = in_flight.popleft()
-        # np.asarray is the real sync point (block_until_ready is a no-op
-        # on some transports)
-        errs = np.concatenate([np.atleast_1d(np.asarray(counters.clean_err)),
-                               np.asarray(counters.dist_err)]).astype(np.int64)
+        # the fetch is the real sync point (block_until_ready is a no-op
+        # on some transports); flat rounds cost ONE round-trip here
+        errs = _fetch_counters(counters)
         n_err += np.where(mask, errs, 0)
         n_bits += np.where(mask, batch * n_bits_per_frame, 0)
     return PointResult(n_err=n_err, n_bits=n_bits, n_rounds=launched,
@@ -173,10 +194,9 @@ def run_sweep_pipelined(round_fn, key, snr_db_values, *, n_counters: int,
         if not in_flight:
             break
         i, counters, mask = in_flight.popleft()
-        # np.asarray is the real sync point (block_until_ready is a no-op
-        # on some transports)
-        errs = np.concatenate([np.atleast_1d(np.asarray(counters.clean_err)),
-                               np.asarray(counters.dist_err)]).astype(np.int64)
+        # the fetch is the real sync point (block_until_ready is a no-op
+        # on some transports); flat rounds cost ONE round-trip here
+        errs = _fetch_counters(counters)
         n_err[i] += np.where(mask, errs, 0)
         n_bits[i] += np.where(mask, batch * n_bits_per_frame, 0)
         t_end[i] = time.perf_counter()
@@ -207,7 +227,7 @@ def run_ber_sweep(cfg: LinkConfig, sweep: SweepConfig, n_iters: int,
     if round_fn is None:
         round_fn = make_round_fn(cfg, n_iters, sweep.batch_frames,
                                  incl_clean=sweep.incl_clean_run,
-                                 reroll=sweep.reroll_channel)
+                                 reroll=sweep.reroll_channel, flat=True)
     n_counters = 1 + n_iters + 1
     result = SweepResult(param_values=ebn0)
     key = jax.random.key(seed)

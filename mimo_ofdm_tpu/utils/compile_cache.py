@@ -63,6 +63,15 @@ def enable_persistent_cache(cache_dir: str | None = None, *,
         if min_entry_size_bytes:
             jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                               int(min_entry_size_bytes))
+        try:
+            # the cache module latches its state at the process's FIRST
+            # compile; if anything compiled before this call (config dir
+            # unset at that point), the new dir is silently ignored until
+            # the module re-initializes
+            from jax._src import compilation_cache as _cc
+            _cc.reset_cache()
+        except Exception:
+            pass   # private API; entry points enable before any compile
         return cache_dir
     except Exception:
         # never let cache plumbing break a run (read-only HOME, old jax…)

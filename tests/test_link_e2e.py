@@ -178,3 +178,29 @@ def test_csi_noise_clean_run_uses_true_channel():
                     csi_snr_db=5.0)
     c = make_round_fn(cfg, 1, 64)(jax.random.key(0), jnp.float32(60.0))
     assert int(np.asarray(c.clean_err)) > 100
+
+
+def test_flat_round_matches_named_counters():
+    """make_round_fn(flat=True) returns the identical counters as the
+    named-tuple round, pre-packed to [clean, it0..itN] inside the round
+    executable (single host fetch; figs/profiling/consume_ab.json)."""
+    import jax
+    import numpy as np
+    from mimo_ofdm_tpu.models.link import make_round_fn
+    from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig,
+                                            LinkConfig, ModemConfig, PaConfig,
+                                            RxConfig)
+
+    cfg = LinkConfig(
+        modem=ModemConfig(constel_size=64, n_fft=256, n_sub_carr=128,
+                          cp_len=16),
+        array=ArrayConfig(n_elements=8),
+        channel=ChannelConfig(model="rayleigh"),
+        precoding="mrt", pa=PaConfig(model="softlim", ibo_db=0.0),
+        rx=RxConfig(algorithm="cnc"))
+    key = jax.random.key(7)
+    named = make_round_fn(cfg, n_iters=2, batch=4)(key, 15.0)
+    flat = make_round_fn(cfg, n_iters=2, batch=4, flat=True)(key, 15.0)
+    expect = np.concatenate([np.atleast_1d(np.asarray(named.clean_err)),
+                             np.asarray(named.dist_err)])
+    assert np.array_equal(np.asarray(flat), expect)

@@ -314,6 +314,11 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
         assert entries, "no cache entries persisted"
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        try:
+            from jax._src import compilation_cache as _cc
+            _cc.reset_cache()   # drop the latched tmp-dir cache state
+        except Exception:
+            pass
 
     # env-var kill switch
     monkeypatch.setenv("MIMO_OFDM_TPU_COMPILE_CACHE", "off")
