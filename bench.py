@@ -71,11 +71,12 @@ def main():
     from mimo_ofdm_tpu.models.link import make_round_fn
 
     n_iters = 8
-    # batch 768 beats 1024 by 6.4% (16,387 vs 15,387 frames/s interleaved
-    # medians — the round-4 sequential sweep could not resolve this inside
-    # the tunnel drift band; figs/profiling/batch_ab.json) and beats the
-    # 640/896 neighbours
-    batch = int(os.environ.get("BENCH_BATCH", "768"))
+    # batch 512 is the measured optimum (interleaved medians, figs/
+    # profiling/batch_ab.json): 512 -> 16.6-16.7k, 768 -> 16.4k,
+    # 1024 -> 15.4k frames/s, with non-multiples of 256 (384/640/704/832)
+    # all 1.5-2k lower — an XLA tiling effect the round-4 sequential
+    # sweep could not resolve inside the tunnel drift band
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     cfg, _ = canonical_miso_cnc()
     cfg = cfg.replace(channel=ChannelConfig(model="rayleigh"))
 
@@ -98,7 +99,9 @@ def main():
     # two rounds stay in flight while round k's host fetch (a tunnel
     # round-trip) completes — measured 9.8k -> 11.2k frames/s vs depth 2
     depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "3"))
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "5"))
+    # 7 windows: batch 512's windows are noisier (~3% spread) than 768's,
+    # so a wider median damps single-window outliers
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "7"))
     window_s = float(os.environ.get("BENCH_WINDOW_S", "3.0"))
 
     skip_mcnc = bool(os.environ.get("BENCH_SKIP_MCNC"))
