@@ -33,19 +33,16 @@ import time
 def _measure_window(round_fn, consume, key_base, snr, batch, window_s, depth,
                     fold_offset):
     """One pipelined measurement window; returns frames/s."""
-    import jax
     t0 = time.perf_counter()
     n_rounds = 0
     pending = []
+    # idx_arg rounds: the key fold happens inside the round executable,
+    # so each launch is ONE dispatch (no eager fold_in per round)
     for _ in range(depth - 1):
-        pending.append(round_fn(jax.random.fold_in(key_base,
-                                                   fold_offset + n_rounds),
-                                snr))
+        pending.append(round_fn(key_base, fold_offset + n_rounds, snr))
         n_rounds += 1
     while time.perf_counter() - t0 < window_s:
-        pending.append(round_fn(jax.random.fold_in(key_base,
-                                                   fold_offset + n_rounds),
-                                snr))
+        pending.append(round_fn(key_base, fold_offset + n_rounds, snr))
         n_rounds += 1
         consume(pending.pop(0))
     for p in pending:
@@ -85,7 +82,8 @@ def main():
     # fetches cost one round-trip each, which at batch 768 (47 ms rounds)
     # made the host the bottleneck (15.2k vs 16.4k frames/s measured,
     # figs/profiling/consume_ab.json)
-    round_fn = make_round_fn(cfg, n_iters=n_iters, batch=batch, flat=True)
+    round_fn = make_round_fn(cfg, n_iters=n_iters, batch=batch, flat=True,
+                             idx_arg=True)
     key = jax.random.key(0)
     snr = jnp.float32(15.0)
 
@@ -112,15 +110,14 @@ def main():
         mcnc_batch = int(os.environ.get("BENCH_MCNC_BATCH", "512"))
         mcnc_round = make_round_fn(cfg.replace(rx=RxConfig(algorithm="mcnc")),
                                    n_iters=n_iters, batch=mcnc_batch,
-                                   flat=True)
+                                   flat=True, idx_arg=True)
         arms.append(("mcnc", mcnc_round, mcnc_batch, 30_000))
 
     # compile + warmup each arm: a few untimed pipelined rounds bring the
     # device, allocator and tunnel to steady state before measurement
     for _, fn, _, off in arms:
-        consume(fn(key, snr))
-        warm = [fn(jax.random.fold_in(key, off + 1000 + i), snr)
-                for i in range(4)]
+        consume(fn(key, 0, snr))
+        warm = [fn(key, off + 1000 + i, snr) for i in range(4)]
         for w in warm:
             consume(w)
 

@@ -284,13 +284,13 @@ def miso_ber_vs_ibo(channel="los", algorithm="cnc", n_ant=64, ebn0_db=15.0,
            else ebn0_to_snr(ebn0_db, cfg.modem.n_sub_carr,
                             cfg.modem.n_sub_carr, cfg.modem.constel_size))
     round_fn = make_round_fn(cfg, n_iters, batch, ibo_as_arg=True,
-                             flat=True)
+                             flat=True, idx_arg=True)
     # one point per IBO value through the pipelined scheduler (snr fixed)
-    rf = lambda key, ibo: round_fn(key, float(snr), ibo)
+    rf = lambda key, idx, ibo: round_fn(key, idx, float(snr), ibo)
     pts = run_sweep_pipelined(
         rf, jax.random.key(seed), ibo_values, n_counters=n_iters + 2,
         n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym, batch=batch,
-        n_err_min=n_err_min, bits_sent_max=bits_sent_max)
+        n_err_min=n_err_min, bits_sent_max=bits_sent_max, idx_arg=True)
     res = SweepResult(param_values=ibo_values)
     res.points = pts
     if verbose:
@@ -335,14 +335,15 @@ def miso_ber_vs_nant(channels=("los", "two_path", "rayleigh"), algorithm="cnc",
                                rx=RxConfig(algorithm=algorithm))
             snr = ebn0_to_snr(ebn0_db, cfg.modem.n_sub_carr, cfg.modem.n_sub_carr,
                               cfg.modem.constel_size)
-            round_fn = make_round_fn(cfg, n_iters, batch, flat=True)
+            round_fn = make_round_fn(cfg, n_iters, batch, flat=True,
+                                     idx_arg=True)
             pt = run_point(round_fn,
                            jax.random.fold_in(jax.random.key(seed),
                                               1000 * ci + i),
                            float(snr), n_counters=n_iters + 2,
                            n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
                            batch=batch, n_err_min=n_err_min,
-                           bits_sent_max=bits_sent_max)
+                           bits_sent_max=bits_sent_max, idx_arg=True)
             res.points.append(pt)
             if verbose:
                 print(f"{chan} n_ant={n_ant}  "
@@ -424,14 +425,15 @@ def req_ebn0_vs_ibo(channel="two_path", algorithm="cnc", n_ant=64,
     # traced argument and the Eb/N0 axis runs through the cross-point
     # pipelined scheduler per IBO row
     round_fn = make_round_fn(cfg, n_iters, batch, incl_clean=False, flat=True,
-                             ibo_as_arg=True)
+                             ibo_as_arg=True, idx_arg=True)
     n_bits_frame = cfg.modem.n_bits_per_ofdm_sym
     for j, ibo in enumerate(ibo_arr):
-        rf = (lambda k, s, _ibo=float(ibo): round_fn(k, s, _ibo))
+        rf = (lambda k, i, s, _ibo=float(ibo): round_fn(k, i, s, _ibo))
         pts = run_sweep_pipelined(
             rf, jax.random.fold_in(jax.random.key(seed), j * len(ebn0_arr)),
             snrs, n_counters=n_iters + 2, n_bits_per_frame=n_bits_frame,
-            batch=batch, n_err_min=n_err_min, bits_sent_max=bits_sent_max)
+            batch=batch, n_err_min=n_err_min, bits_sent_max=bits_sent_max,
+            idx_arg=True)
         for i, pt in enumerate(pts):
             ber_grid[j, i, :] = pt.ber[1:]
         if verbose:
@@ -469,7 +471,7 @@ def reproduce_reference_curve(ebn0_points=(10.0, 14.0, 18.0), n_err_min=2000,
     import csv as _csv
     import jax
     cfg, _ = canonical_miso_cnc()
-    round_fn = make_round_fn(cfg, 8, batch, flat=True)
+    round_fn = make_round_fn(cfg, 8, batch, flat=True, idx_arg=True)
     rows = list(_csv.reader(open(ref_csv)))
     ref = [np.array([float(x) for x in r]) for r in rows]
     ebn0_ref = ref[0]
@@ -482,7 +484,7 @@ def reproduce_reference_curve(ebn0_points=(10.0, 14.0, 18.0), n_err_min=2000,
                        float(snr), n_counters=10,
                        n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
                        batch=batch, n_err_min=n_err_min,
-                       bits_sent_max=bits_sent_max)
+                       bits_sent_max=bits_sent_max, idx_arg=True)
         i = int(np.argmin(abs(ebn0_ref - ebn0)))
         refv = np.array([ref[r][i] for r in range(1, 11)])
         out[ebn0] = (refv, pt.ber)

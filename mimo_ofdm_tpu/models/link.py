@@ -314,7 +314,7 @@ def make_frame_fn(cfg: LinkConfig, n_iters: int, *, incl_clean: bool = True,
 def make_round_fn(cfg: LinkConfig, n_iters: int, batch: int, *,
                   incl_clean: bool = True, reroll: bool = True,
                   ibo_as_arg: bool = False, flat: bool = False,
-                  dtype=jnp.complex64):
+                  idx_arg: bool = False, dtype=jnp.complex64):
     """Jitted Monte-Carlo round: ``round_fn(key, snr_db) -> FrameCounters``
     summed over a ``batch`` of independent frames (vmapped). This is the
     unit of work the host stop-criterion loop schedules — the batched
@@ -331,7 +331,15 @@ def make_round_fn(cfg: LinkConfig, n_iters: int, batch: int, *,
     one more — pre-packing *inside* the round executable makes the
     driver's consume a single round-trip (measured at batch 768:
     16,380 vs 15,237 vs 10,455 frames/s for one fetch / two fetches /
-    extra-dispatch packing, ``figs/profiling/consume_ab.json``)."""
+    extra-dispatch packing, ``figs/profiling/consume_ab.json``).
+
+    With ``idx_arg=True`` the signature gains a traced round index
+    after the key — ``round_fn(key, idx, snr_db[, ibo_db])`` computes
+    ``fold_in(key, idx)`` INSIDE the executable, replacing the driver's
+    per-launch eager ``fold_in`` dispatch (each eager dispatch costs
+    host time on the tunnel transport; interleaved A/B at batch 512:
+    +5% — ``figs/profiling/foldin_ab.json``). Key derivation is
+    bit-identical to the host-side ``fold_in(key, idx)``."""
     frame_fn = make_frame_fn(cfg, n_iters, incl_clean=incl_clean,
                              reroll=reroll, dtype=dtype,
                              ibo_as_arg=ibo_as_arg)
@@ -355,6 +363,14 @@ def make_round_fn(cfg: LinkConfig, n_iters: int, batch: int, *,
                 keys, snr_db, tx_pos, ibo_db)
             return _sum(counters)
 
+        if idx_arg:
+            @jax.jit
+            def round_fn_ibo_idx(key: Array, idx: Array, snr_db: Array,
+                                 ibo_db: Array):
+                return round_fn_ibo(jax.random.fold_in(key, idx), snr_db,
+                                    ibo_db)
+
+            return round_fn_ibo_idx
         return round_fn_ibo
 
     @jax.jit
@@ -363,4 +379,10 @@ def make_round_fn(cfg: LinkConfig, n_iters: int, batch: int, *,
         counters = jax.vmap(frame_fn, in_axes=(0, None, None))(keys, snr_db, tx_pos)
         return _sum(counters)
 
+    if idx_arg:
+        @jax.jit
+        def round_fn_idx(key: Array, idx: Array, snr_db: Array):
+            return round_fn(jax.random.fold_in(key, idx), snr_db)
+
+        return round_fn_idx
     return round_fn

@@ -91,7 +91,7 @@ class SweepResult:
 def run_point(round_fn, key, snr_db: float, *, n_counters: int,
               n_bits_per_frame: int, batch: int, n_err_min: int,
               bits_sent_max: int, max_rounds: int = 100_000,
-              pipeline_depth: int = 3) -> PointResult:
+              pipeline_depth: int = 3, idx_arg: bool = False) -> PointResult:
     """Accumulate rounds until every counter hit a stop criterion.
 
     ``round_fn(key, snr_db) -> FrameCounters`` with int32 sums per counter.
@@ -122,11 +122,17 @@ def run_point(round_fn, key, snr_db: float, *, n_counters: int,
         return (n_err < n_err_min) & (n_bits < bits_sent_max)
 
     while True:
-        # keep the pipeline full (dispatch is async; no device sync here)
+        # keep the pipeline full (dispatch is async; no device sync
+        # here). idx_arg rounds fold the round key INSIDE the executable
+        # (one dispatch per launch instead of fold_in + round; same key
+        # derivation bit-for-bit, see make_round_fn(idx_arg=True))
         while (launched < max_rounds and len(in_flight) < pipeline_depth
                and active_mask().any()):
-            rkey = jax.random.fold_in(key, launched)
-            in_flight.append((round_fn(rkey, snr_db), active_mask()))
+            if idx_arg:
+                counters = round_fn(key, launched, snr_db)
+            else:
+                counters = round_fn(jax.random.fold_in(key, launched), snr_db)
+            in_flight.append((counters, active_mask()))
             launched += 1
         if not in_flight:
             break
@@ -143,7 +149,8 @@ def run_point(round_fn, key, snr_db: float, *, n_counters: int,
 def run_sweep_pipelined(round_fn, key, snr_db_values, *, n_counters: int,
                         n_bits_per_frame: int, batch: int, n_err_min: int,
                         bits_sent_max: int, max_rounds: int = 100_000,
-                        pipeline_depth: int = 3) -> list[PointResult]:
+                        pipeline_depth: int = 3,
+                        idx_arg: bool = False) -> list[PointResult]:
     """Sequence of :func:`run_point`-equivalent sweep points with the
     device pipeline kept full ACROSS points.
 
@@ -165,6 +172,7 @@ def run_sweep_pipelined(round_fn, key, snr_db_values, *, n_counters: int,
     from collections import deque
 
     n_pts = len(snr_db_values)
+    point_keys = [None] * n_pts   # fold_in(key, i), derived once per point
     n_err = [np.zeros(n_counters, np.int64) for _ in range(n_pts)]
     n_bits = [np.zeros(n_counters, np.int64) for _ in range(n_pts)]
     launched = np.zeros(n_pts, np.int64)
@@ -184,10 +192,18 @@ def run_sweep_pipelined(round_fn, key, snr_db_values, *, n_counters: int,
             i = launch_idx
             if t_start[i] is None:
                 t_start[i] = time.perf_counter()
-            rkey = jax.random.fold_in(jax.random.fold_in(key, i),
-                                      int(launched[i]))
-            in_flight.append((i, round_fn(rkey, float(snr_db_values[i])),
-                              active_mask(i)))
+            if point_keys[i] is None:
+                point_keys[i] = jax.random.fold_in(key, i)
+            if idx_arg:
+                # fold_in(point_key, round) runs inside the executable —
+                # bit-identical keys, one dispatch per launch
+                counters = round_fn(point_keys[i], int(launched[i]),
+                                    float(snr_db_values[i]))
+            else:
+                counters = round_fn(
+                    jax.random.fold_in(point_keys[i], int(launched[i])),
+                    float(snr_db_values[i]))
+            in_flight.append((i, counters, active_mask(i)))
             launched[i] += 1
             if launched[i] >= max_rounds:
                 launch_idx += 1
@@ -227,7 +243,11 @@ def run_ber_sweep(cfg: LinkConfig, sweep: SweepConfig, n_iters: int,
     if round_fn is None:
         round_fn = make_round_fn(cfg, n_iters, sweep.batch_frames,
                                  incl_clean=sweep.incl_clean_run,
-                                 reroll=sweep.reroll_channel, flat=True)
+                                 reroll=sweep.reroll_channel, flat=True,
+                                 idx_arg=True)
+        idx_arg = True
+    else:
+        idx_arg = False
     n_counters = 1 + n_iters + 1
     result = SweepResult(param_values=ebn0)
     key = jax.random.key(seed)
@@ -235,7 +255,7 @@ def run_ber_sweep(cfg: LinkConfig, sweep: SweepConfig, n_iters: int,
         round_fn, key, snr_db_values, n_counters=n_counters,
         n_bits_per_frame=cfg.modem.n_bits_per_ofdm_sym,
         batch=sweep.batch_frames, n_err_min=sweep.n_err_min,
-        bits_sent_max=sweep.bits_sent_max)
+        bits_sent_max=sweep.bits_sent_max, idx_arg=idx_arg)
     if verbose:
         for i, pt in enumerate(result.points):
             print(f"Eb/N0={ebn0[i]:5.1f} dB  rounds={pt.n_rounds:5d}  "

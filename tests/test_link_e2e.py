@@ -204,3 +204,39 @@ def test_flat_round_matches_named_counters():
     expect = np.concatenate([np.atleast_1d(np.asarray(named.clean_err)),
                              np.asarray(named.dist_err)])
     assert np.array_equal(np.asarray(flat), expect)
+
+
+def test_idx_arg_round_matches_host_foldin():
+    """make_round_fn(idx_arg=True) derives fold_in(key, idx) inside the
+    executable — bit-identical counters to the host-side fold, one
+    dispatch per launch (figs/profiling/foldin_ab.json)."""
+    import jax
+    import numpy as np
+    from mimo_ofdm_tpu.models.link import make_round_fn
+    from mimo_ofdm_tpu.utils.config import (ArrayConfig, ChannelConfig,
+                                            LinkConfig, ModemConfig, PaConfig,
+                                            RxConfig)
+
+    cfg = LinkConfig(
+        modem=ModemConfig(constel_size=64, n_fft=256, n_sub_carr=128,
+                          cp_len=16),
+        array=ArrayConfig(n_elements=8),
+        channel=ChannelConfig(model="rayleigh"),
+        precoding="mrt", pa=PaConfig(model="softlim", ibo_db=0.0),
+        rx=RxConfig(algorithm="cnc"))
+    key = jax.random.key(11)
+    plain = make_round_fn(cfg, n_iters=2, batch=4, flat=True)
+    idx = make_round_fn(cfg, n_iters=2, batch=4, flat=True, idx_arg=True)
+    for i in (0, 3, 17):
+        a = np.asarray(plain(jax.random.fold_in(key, i), 15.0))
+        b = np.asarray(idx(key, i, 15.0))
+        assert np.array_equal(a, b), i
+
+    # and through the ibo_as_arg variant
+    plain_i = make_round_fn(cfg, n_iters=2, batch=4, flat=True,
+                            ibo_as_arg=True)
+    idx_i = make_round_fn(cfg, n_iters=2, batch=4, flat=True,
+                          ibo_as_arg=True, idx_arg=True)
+    a = np.asarray(plain_i(jax.random.fold_in(key, 5), 15.0, 0.0))
+    b = np.asarray(idx_i(key, 5, 15.0, 0.0))
+    assert np.array_equal(a, b)
